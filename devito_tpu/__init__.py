@@ -1,0 +1,36 @@
+"""devito_tpu — a TPU-native symbolic stencil-computation framework with the
+capabilities of Devito (devitocodes/devito): a SymPy DSL for
+finite-difference PDE solvers whose Operators compile to jitted JAX
+time-stepping loops (XLA-fused shifted-slice stencils and Pallas kernels)
+instead of generated C/OpenMP/MPI.
+
+Public API parity: Grid, Function, TimeFunction, SparseFunction,
+SparseTimeFunction, Eq, Inc, Operator, solve, Constant, SubDomain,
+Dimension family, div/grad/curl/laplace, norm/inner/mmax builtins,
+configuration/switchconfig.
+"""
+
+from .parameters import configuration, switchconfig  # noqa
+from .logger import set_log_level, logger, info, perf, warning, error  # noqa
+from .exceptions import (DevitoTpuError, CompilationError, InvalidOperator,  # noqa
+                         InvalidArgument, ExecutionError)
+from .types import (Grid, SubDomain, SubDomainSet, Dimension, SpaceDimension,  # noqa
+                    TimeDimension, SteppingDimension, SubDimension,
+                    ConditionalDimension, DefaultDimension, Constant,
+                    Function, TimeFunction, Eq, Inc, ReduceMax, ReduceMin,
+                    dimensions, NODE, CELL)
+from .types.sparse import (SparseFunction, SparseTimeFunction,  # noqa
+                           PrecomputedSparseFunction,
+                           PrecomputedSparseTimeFunction)
+from .finite_differences import (Derivative, Differentiable)  # noqa
+from .finite_differences.operators import (div, grad, curl, laplace, diag)  # noqa
+from .operations.solve import solve  # noqa
+from .operator import Operator  # noqa
+
+__version__ = '0.1.0'
+
+
+def clear_cache():
+    """Drop the global symbol cache (reference: CacheManager)."""
+    from .types.basic import _symbol_cache
+    _symbol_cache.clear()

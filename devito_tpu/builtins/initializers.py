@@ -1,0 +1,79 @@
+"""Initialization builtins: assign, initialize_function, gaussian_smooth.
+
+Reference parity: devito/builtins/initializers.py (assign:12,
+gaussian_smooth:121 — iterated-convolution Operator, initialize_function:283
+— pad model data into the ABC halo with 'constant'/'reflect' modes).
+"""
+
+import numpy as np
+
+from ..utils import as_tuple
+
+__all__ = ['assign', 'initialize_function', 'gaussian_smooth', 'smooth']
+
+
+def assign(f, rhs=0, **kwargs):
+    """Assign a value (or one value per function) to function data."""
+    fns = as_tuple(f)
+    vals = as_tuple(rhs, len(fns))
+    for fn, v in zip(fns, vals):
+        if np.isscalar(v):
+            fn.data[:] = v
+        else:
+            fn.data[:] = np.asarray(v)
+
+
+def initialize_function(function, data, nbl, mapper=None, mode='constant',
+                        name=None, pad_halo=True, **kwargs):
+    """Initialize ``function`` with ``data`` padded by ``nbl`` absorbing-
+    boundary points on each side (reference: initializers.py:283).
+
+    mode 'constant': edge-replicate; 'reflect': mirror."""
+    data = np.asarray(data)
+    nbl_pairs = []
+    nbl = as_tuple(nbl, data.ndim) if not isinstance(nbl, tuple) or \
+        not isinstance(nbl[0], tuple) else nbl
+    for n in nbl:
+        nbl_pairs.append(n if isinstance(n, tuple) else (n, n))
+    np_mode = 'edge' if mode == 'constant' else 'reflect'
+    padded = np.pad(data, nbl_pairs, mode=np_mode)
+    if padded.shape != function.data.shape:
+        raise ValueError(f"Padded shape {padded.shape} != function shape "
+                         f"{function.data.shape}")
+    function.data[:] = padded.astype(function.dtype)
+
+
+def gaussian_smooth(f, sigma=1, truncate=4.0, mode='reflect'):
+    """Gaussian smoothing of function data (reference: iterated-convolution
+    Operator; here a separable convolution evaluated with jnp)."""
+    import jax.numpy as jnp
+
+    data = f.data if hasattr(f, 'data') else np.asarray(f)
+    arr = jnp.asarray(np.asarray(data, dtype=np.float64))
+    sigmas = as_tuple(sigma, arr.ndim)
+    for axis, s in enumerate(sigmas):
+        if s <= 0:
+            continue
+        radius = int(truncate * float(s) + 0.5)
+        x = np.arange(-radius, radius + 1)
+        kernel = np.exp(-0.5 * (x / float(s)) ** 2)
+        kernel /= kernel.sum()
+        pad = [(0, 0)] * arr.ndim
+        pad[axis] = (radius, radius)
+        padded = jnp.pad(arr, pad, mode='reflect' if mode == 'reflect'
+                         else 'edge')
+        out = jnp.zeros_like(arr)
+        for i, w in enumerate(kernel):
+            idx = [slice(None)] * arr.ndim
+            idx[axis] = slice(i, i + arr.shape[axis])
+            out = out + w * padded[tuple(idx)]
+        arr = out
+    result = np.asarray(arr).astype(data.dtype if hasattr(data, 'dtype')
+                                    else np.float32)
+    if hasattr(f, 'data'):
+        f.data[:] = result
+        return f
+    return result
+
+
+smooth = gaussian_smooth

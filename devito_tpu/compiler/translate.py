@@ -1,0 +1,268 @@
+"""Symbolic expression -> JAX translator.
+
+This is the TPU-native replacement for the reference's C code generation
+(devito/ir/cgen/printer.py ccode:459 and the CGen IET visitor): instead of
+printing C, evaluated sympy expressions are traced directly into an XLA
+computation over (halo-padded) device buffers. XLA then performs the loop
+fusion / vectorization that the reference implements by hand (Ompizer,
+PragmaSimdTransformer).
+
+Two access contexts:
+- DenseCtx: function accesses become static slices of padded buffers
+  (shifted-slice stencil algebra; everything fuses into one kernel).
+- SparseCtx: accesses become gathers at interpolation corner indices
+  (reference: devito/operations/interpolators.py lowered loops).
+"""
+
+import numpy as np
+import sympy
+
+from ..types.basic import AbstractFunction
+from ..types.dimension import Dimension, ConditionalDimension
+from ..ir.lowering import time_access_of, space_offsets_of
+from ..exceptions import CompilationError
+
+__all__ = ['translate', 'DenseCtx', 'SparseCtx']
+
+
+def _fn_map():
+    import jax.numpy as jnp
+    return {
+        sympy.sin: jnp.sin, sympy.cos: jnp.cos, sympy.tan: jnp.tan,
+        sympy.exp: jnp.exp, sympy.log: jnp.log, sympy.sqrt: jnp.sqrt,
+        sympy.sinh: jnp.sinh, sympy.cosh: jnp.cosh, sympy.tanh: jnp.tanh,
+        sympy.asin: jnp.arcsin, sympy.acos: jnp.arccos,
+        sympy.atan: jnp.arctan, sympy.atan2: jnp.arctan2,
+        sympy.Abs: jnp.abs, sympy.sign: jnp.sign,
+        sympy.floor: lambda x: jnp.floor(x),
+        sympy.ceiling: lambda x: jnp.ceil(x),
+        sympy.re: lambda x: x.real if hasattr(x, 'real') else x,
+        sympy.im: lambda x: x.imag if hasattr(x, 'imag') else 0.0,
+    }
+
+
+def translate(expr, ctx):
+    """Translate a sympy expression into a JAX value in context ``ctx``."""
+    import jax.numpy as jnp
+
+    expr = sympy.sympify(expr)
+
+    if isinstance(expr, AbstractFunction):
+        return ctx.access(expr)
+    if isinstance(expr, sympy.Integer):
+        return int(expr)
+    if isinstance(expr, (sympy.Float, sympy.Rational)):
+        return float(expr)
+    if expr is sympy.pi:
+        return float(np.pi)
+    if isinstance(expr, sympy.Symbol):
+        return ctx.symbol(expr)
+    if isinstance(expr, sympy.Add):
+        out = translate(expr.args[0], ctx)
+        for a in expr.args[1:]:
+            out = out + translate(a, ctx)
+        return out
+    if isinstance(expr, sympy.Mul):
+        out = translate(expr.args[0], ctx)
+        for a in expr.args[1:]:
+            out = out * translate(a, ctx)
+        return out
+    if isinstance(expr, sympy.Pow):
+        base = translate(expr.base, ctx)
+        e = expr.exp
+        if isinstance(e, sympy.Integer):
+            n = int(e)
+            if n == -1:
+                return 1.0 / base
+            if 0 <= n <= 4:
+                out = 1
+                for _ in range(n):
+                    out = out * base
+                return out
+            if -4 <= n < 0:
+                out = 1
+                for _ in range(-n):
+                    out = out * base
+                return 1.0 / out
+            return base ** n
+        if e == sympy.Rational(1, 2):
+            return jnp.sqrt(base)
+        if e == sympy.Rational(-1, 2):
+            import jax
+            return jax.lax.rsqrt(base)
+        return base ** translate(e, ctx)
+    if isinstance(expr, (sympy.StrictLessThan, sympy.LessThan,
+                         sympy.StrictGreaterThan, sympy.GreaterThan,
+                         sympy.Equality, sympy.Unequality)):
+        l = translate(expr.lhs, ctx)
+        r = translate(expr.rhs, ctx)
+        ops = {sympy.StrictLessThan: lambda a, b: a < b,
+               sympy.LessThan: lambda a, b: a <= b,
+               sympy.StrictGreaterThan: lambda a, b: a > b,
+               sympy.GreaterThan: lambda a, b: a >= b,
+               sympy.Equality: lambda a, b: a == b,
+               sympy.Unequality: lambda a, b: a != b}
+        return ops[type(expr)](l, r)
+    if isinstance(expr, sympy.And):
+        out = translate(expr.args[0], ctx)
+        for a in expr.args[1:]:
+            out = out & translate(a, ctx)
+        return out
+    if isinstance(expr, sympy.Or):
+        out = translate(expr.args[0], ctx)
+        for a in expr.args[1:]:
+            out = out | translate(a, ctx)
+        return out
+    if isinstance(expr, sympy.Not):
+        return ~translate(expr.args[0], ctx)
+    if isinstance(expr, sympy.Min):
+        out = translate(expr.args[0], ctx)
+        for a in expr.args[1:]:
+            out = jnp.minimum(out, translate(a, ctx))
+        return out
+    if isinstance(expr, sympy.Max):
+        out = translate(expr.args[0], ctx)
+        for a in expr.args[1:]:
+            out = jnp.maximum(out, translate(a, ctx))
+        return out
+    if isinstance(expr, sympy.Mod):
+        return jnp.mod(translate(expr.args[0], ctx),
+                       translate(expr.args[1], ctx))
+    if isinstance(expr, sympy.Piecewise):
+        out = None
+        for val, cond in reversed(expr.args):
+            v = translate(val, ctx)
+            if cond is sympy.true:
+                out = v
+            else:
+                c = translate(cond, ctx)
+                out = jnp.where(c, v, out if out is not None else 0.0)
+        return out
+
+    fmap = _fn_map()
+    for sfunc, jfunc in fmap.items():
+        if isinstance(expr, sfunc):
+            return jfunc(*[translate(a, ctx) for a in expr.args])
+
+    raise CompilationError(f"Cannot translate {type(expr).__name__}: {expr}")
+
+
+class BaseCtx:
+    def __init__(self, buffers, params, t=None):
+        self.buffers = buffers
+        self.params = params
+        self.t = t
+
+    def symbol(self, sym):
+        name = sym.name
+        if name in self.params:
+            return self.params[name]
+        raise CompilationError(f"Unbound symbol {name}")
+
+    def _time_index(self, fn, access):
+        """Resolve the leading (time) index of an access into a concrete
+        buffer index; returns None for timeless functions."""
+        import jax.numpy as jnp
+        tk, toff = time_access_of(access)
+        if tk is None:
+            return None
+        buf = self.buffers[fn.name]
+        if tk == 'stepping':
+            nslots = buf.shape[0]
+            return jnp.mod(self.t + toff, nslots)
+        if tk == 'save':
+            return self.t + toff
+        if tk == 'cond':
+            factor = fn.dimensions[0].factor or 1
+            return self.t // factor + toff
+        raise CompilationError(f"Bad time access {access}")
+
+
+class DenseCtx(BaseCtx):
+    """Dense region context: accesses -> static slices of padded buffers.
+
+    ``region``: {root dim name: (start, length)} of the write region in
+    domain coordinates.
+    """
+
+    def __init__(self, buffers, params, region, t=None):
+        super().__init__(buffers, params, t=t)
+        self.region = region
+
+    def symbol(self, sym):
+        import jax.numpy as jnp
+        if isinstance(sym, Dimension):
+            # A bare dimension in an expression -> coordinate index array
+            # broadcast along its axis over the region.
+            name = sym.root.name if sym.is_Derived else sym.name
+            if sym.is_Time or name not in self.region:
+                if sym.is_Time:
+                    return self.t
+                raise CompilationError(f"Unbound dimension {sym}")
+            dims = list(self.region)
+            j = dims.index(name)
+            start, length = self.region[name]
+            shape = [1] * len(dims)
+            shape[j] = length
+            return (jnp.arange(start, start + length)
+                    .reshape(shape))
+        return super().symbol(sym)
+
+    def access(self, e):
+        import jax
+        fn = e.function
+        buf = self.buffers[fn.name]
+        tidx = self._time_index(fn, e)
+        if tidx is not None:
+            arr = jax.lax.dynamic_index_in_dim(buf, tidx, 0, keepdims=False)
+        else:
+            arr = buf
+        offs = space_offsets_of(e)
+        slices = []
+        for (d, off, (hl, hr)) in zip(fn.space_dimensions, offs, fn.halo):
+            start, length = self.region[d.name]
+            s = hl + start + off
+            slices.append(slice(s, s + length))
+        return arr[tuple(slices)]
+
+
+class SparseCtx(BaseCtx):
+    """Sparse point context: dense accesses -> gathers at interpolation
+    corner indices; sparse accesses -> point rows.
+
+    Built by the executor from a sparse function's interpolator: provides
+    ``corner_idx`` {dim name: int array (C, P)} (absolute domain coords,
+    clipped), ``weights`` (C, P) including the out-of-bounds mask, and the
+    sparse row time resolution.
+    """
+
+    def __init__(self, buffers, params, corner_idx, weights, sparse_fn,
+                 t=None):
+        super().__init__(buffers, params, t=t)
+        self.corner_idx = corner_idx
+        self.weights = weights
+        self.sparse_fn = sparse_fn
+
+    def access(self, e):
+        import jax
+        fn = e.function
+        buf = self.buffers[fn.name]
+        if fn.is_SparseFunction:
+            tidx = self._time_index(fn, e)
+            if tidx is not None:
+                row = jax.lax.dynamic_index_in_dim(buf, tidx, 0,
+                                                   keepdims=False)
+            else:
+                row = buf
+            return row  # (P,)
+        # dense gather at corners
+        tidx = self._time_index(fn, e)
+        if tidx is not None:
+            arr = jax.lax.dynamic_index_in_dim(buf, tidx, 0, keepdims=False)
+        else:
+            arr = buf
+        offs = space_offsets_of(e)
+        idxs = []
+        for (d, off, (hl, hr)) in zip(fn.space_dimensions, offs, fn.halo):
+            idxs.append(self.corner_idx[d.name] + (hl + off))
+        return arr[tuple(idxs)]  # (C, P)

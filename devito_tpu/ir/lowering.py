@@ -1,0 +1,313 @@
+"""Expression lowering: user equations -> LoweredEq list + Schedule.
+
+Reference parity: this module plays the role of devito/ir/equations
+(lower_exprs — indexification, subdomain shifting) and the clusterizer
+(devito/ir/clusters/algorithms.py — toposort, direction detection,
+SteppingDimension -> modulo lowering). The TPU build needs a far thinner IR:
+equations lower directly to slice-algebra over padded jax buffers, so the
+four reference IRs collapse into one.
+"""
+
+import sympy
+
+from ..types.basic import AbstractFunction, retrieve_functions
+from ..types.dimension import (Dimension, ConditionalDimension, SubDimension)
+from ..types.equation import Eq
+from ..types.grid import SubDomain
+from ..exceptions import InvalidOperator
+from ..utils import as_tuple, filter_ordered
+
+__all__ = ['LoweredEq', 'LoweredSparse', 'Schedule', 'lower_expressions',
+           'time_access_of', 'space_offsets_of', 'estimate_cost']
+
+
+class LoweredEq:
+    """A dense assignment over a rectangular region.
+
+    Attributes:
+    - target: canonical function written
+    - time_off: integer time offset of the write (None if target timeless)
+    - time_kind: 'stepping' | 'save' | 'cond' | None
+    - cond_factor: subsampling factor when time_kind == 'cond'
+    - region: per-space-dim (start, stop) in domain coordinates
+    - rhs: evaluated sympy expression
+    - increment: lhs += rhs
+    - reduction: None | 'max' | 'min'
+    - condition: optional sympy boolean expr (elementwise guard)
+    - time_dep: executes inside the time loop
+    """
+
+    kind = 'dense'
+
+    def __init__(self, target, time_off, time_kind, region, rhs,
+                 increment=False, reduction=None, condition=None,
+                 time_dep=False, cond_factor=None, lhs_access=None):
+        self.target = target
+        self.time_off = time_off
+        self.time_kind = time_kind
+        self.cond_factor = cond_factor
+        self.region = region
+        self.rhs = rhs
+        self.increment = increment
+        self.reduction = reduction
+        self.condition = condition
+        self.time_dep = time_dep
+        self.lhs_access = lhs_access
+
+    def __repr__(self):
+        return (f"LoweredEq({self.target.name}[{self.time_kind}"
+                f"{self.time_off:+d}] region={self.region} "
+                f"inc={self.increment})" if self.time_off is not None else
+                f"LoweredEq({self.target.name} region={self.region})")
+
+
+class LoweredSparse:
+    """A lowered sparse operation (gather-interpolate or scatter-inject).
+
+    - kind: 'interp' | 'inject'
+    - sparse: the sparse function (points carrier)
+    - expr: evaluated expression (contains dense/sparse accesses)
+    - field: (inject) dense function written; time_off its write offset
+    - target_time_off: (interp) time offset of the sparse row written
+    - interpolator: the sparse function's interpolator (weights machinery)
+    - increment: interp accumulates instead of overwriting
+    """
+
+    def __init__(self, kind, sparse, expr, field=None, field_time_off=None,
+                 field_time_kind=None, target_time_off=0, increment=False,
+                 implicit_dims=None):
+        self.kind = kind
+        self.sparse = sparse
+        self.expr = expr
+        self.field = field
+        self.field_time_off = field_time_off
+        self.field_time_kind = field_time_kind
+        self.target_time_off = target_time_off
+        self.increment = increment
+        self.time_dep = True
+
+    def __repr__(self):
+        return f"LoweredSparse({self.kind}, {self.sparse.name})"
+
+
+class Schedule:
+    """Execution schedule: prologue (once, before), body (time loop),
+    epilogue (once, after), and the loop direction (+1 forward / -1
+    backward). Reference analog: the cluster toposort + direction
+    detection (ir/clusters/algorithms.py:29)."""
+
+    def __init__(self, prologue, body, epilogue, direction):
+        self.prologue = prologue
+        self.body = body
+        self.epilogue = epilogue
+        self.direction = direction
+
+    @property
+    def all_items(self):
+        return self.prologue + self.body + self.epilogue
+
+
+def time_access_of(access):
+    """For a function access, return (time_kind, offset_expr) — how its
+    (possibly absent) time index relates to the loop variable."""
+    fn = access.function
+    dims = fn.dimensions
+    if not dims or not dims[0].is_Time and not isinstance(
+            dims[0], ConditionalDimension):
+        return (None, None)
+    d0 = dims[0]
+    arg0 = access.args[0]
+    if isinstance(d0, ConditionalDimension):
+        off = sympy.simplify(arg0 - d0)
+        return ('cond', int(off))
+    if d0.is_Stepping:
+        off = sympy.simplify(arg0 - d0)
+        return ('stepping', int(off))
+    if d0.is_Time:
+        off = sympy.simplify(arg0 - d0)
+        return ('save', int(off))
+    return (None, None)
+
+
+def space_offsets_of(access):
+    """Integer spatial offsets of an access, aligned with the function's
+    space dimensions."""
+    fn = access.function
+    dims = fn.dimensions
+    args = access.args
+    start = 1 if (dims and (dims[0].is_Time or
+                            isinstance(dims[0], ConditionalDimension))) else 0
+    offs = []
+    for d, a in zip(dims[start:], args[start:]):
+        off = sympy.simplify(a - d)
+        if not (off.is_number and off.is_integer is not False):
+            raise InvalidOperator(f"Non-affine access {access}")
+        offs.append(int(off))
+    return tuple(offs)
+
+
+def _has_time(expr):
+    for f in retrieve_functions(expr):
+        dims = f.function.dimensions
+        if dims and (dims[0].is_Time or isinstance(dims[0],
+                                                   ConditionalDimension)):
+            return True
+    free = getattr(expr, 'free_symbols', set())
+    return any(isinstance(s, Dimension) and s.is_Time for s in free)
+
+
+def _region_of(target, subdomain):
+    """(start, stop) per space dim of the write region."""
+    fn = target.function
+    grid = fn.grid
+    sshape = fn.shape if not fn.is_TimeFunction else fn.shape[1:]
+    if fn.is_SparseFunction:
+        return None
+    if subdomain is None:
+        return tuple((0, n) for n in sshape)
+    if isinstance(subdomain, SubDomain):
+        return subdomain.bounds()
+    raise InvalidOperator(f"Bad subdomain {subdomain}")
+
+
+def lower_one(eq):
+    """Lower a single (already evaluated) Eq to LoweredEq."""
+    lhs, rhs = eq.lhs, eq.rhs
+    if not isinstance(lhs, AbstractFunction):
+        raise InvalidOperator(f"Unsupported lhs {lhs} (not a function access)")
+    fn = lhs.function
+    if fn.is_SparseFunction:
+        # direct write to a sparse function row, e.g. Eq(rec, expr) via
+        # interpolation API; handled by LoweredSparse in the operator
+        raise InvalidOperator(
+            "Direct sparse assignments must go through .interpolate()")
+
+    tk, toff = time_access_of(lhs)
+    soffs = space_offsets_of(lhs)
+    if any(s != 0 for s in soffs):
+        raise InvalidOperator(
+            f"Shifted spatial writes not supported (lhs {lhs})")
+
+    region = _region_of(lhs, eq.subdomain)
+    cond = None
+    cond_factor = None
+    if tk == 'cond':
+        cd = fn.dimensions[0]
+        cond_factor = cd.factor
+        cond = cd.condition
+    # equations over a ConditionalDimension via implicit_dims
+    for d in as_tuple(eq.implicit_dims):
+        if isinstance(d, ConditionalDimension) and d.condition is not None:
+            cond = d.condition if cond is None else sympy.And(cond, d.condition)
+
+    time_dep = tk is not None or _has_time(rhs) or cond_factor is not None
+    return LoweredEq(fn, toff, tk, region, rhs,
+                     increment=eq.is_Increment and eq._reduction is None,
+                     reduction=eq._reduction,
+                     condition=cond, time_dep=time_dep,
+                     cond_factor=cond_factor, lhs_access=lhs)
+
+
+def lower_expressions(expressions, subs=None):
+    """Evaluate + lower a list of user expressions into a Schedule."""
+    from ..operations.interpolators import Interpolation, Injection
+
+    items = []
+    for e in _flatten_exprs(expressions):
+        if isinstance(e, (Interpolation, Injection)):
+            items.extend(e._lower(subs=subs))
+        elif isinstance(e, Eq):
+            ev = e.evaluate
+            if subs:
+                ev = ev.subs(subs)
+            items.append(lower_one(ev))
+        else:
+            raise InvalidOperator(f"Cannot lower {type(e).__name__}: {e}")
+
+    # Split prologue / loop body / epilogue
+    body = [i for i in items if i.time_dep]
+    if body:
+        first = items.index(body[0])
+        last = max(i for i, it in enumerate(items) if it.time_dep)
+        prologue = [it for it in items[:first] if not it.time_dep]
+        epilogue = [it for it in items[last + 1:] if not it.time_dep]
+        middle_static = [it for it in items[first:last + 1] if not it.time_dep]
+        # statics interleaved with time-deps: keep them in the loop (rare;
+        # matches reference cluster fusion semantics closely enough)
+        merged_body = [it for it in items[first:last + 1]]
+        body = merged_body
+    else:
+        prologue, epilogue = items, []
+        body = []
+
+    # Direction: from write offsets in the body
+    direction = 1
+    has_fwd = any(getattr(i, 'time_off', 0) not in (None,) and i.time_off > 0
+                  for i in body if isinstance(i, LoweredEq))
+    has_bwd = any(getattr(i, 'time_off', 0) not in (None,) and i.time_off < 0
+                  for i in body if isinstance(i, LoweredEq))
+    has_fwd = has_fwd or any(isinstance(i, LoweredSparse) and
+                             (i.field_time_off or 0) > 0 for i in body)
+    has_bwd = has_bwd or any(isinstance(i, LoweredSparse) and
+                             (i.field_time_off or 0) < 0 for i in body)
+    if has_bwd and not has_fwd:
+        direction = -1
+
+    return Schedule(prologue, body, epilogue, direction)
+
+
+def _flatten_exprs(expressions):
+    from ..types.tensor import TensorLike
+    out = []
+    for e in as_tuple(expressions):
+        if isinstance(e, (list, tuple)):
+            out.extend(_flatten_exprs(e))
+        elif isinstance(e, Eq) and isinstance(e.lhs, TensorLike):
+            # flatten tensor/vector equations to per-component equations
+            # (reference: operator.py _lower_exprs flattening)
+            lhs_c = e.lhs._comps
+            rhs = e.rhs
+            seen = set()
+            for i, row in enumerate(lhs_c):
+                for j, lc in enumerate(row):
+                    if lc == 0 or id(lc) in seen:
+                        continue
+                    seen.add(id(lc))
+                    rc = rhs._comps[i][j] if isinstance(rhs, TensorLike) \
+                        else rhs
+                    out.append(e.func(lc, rc))
+        else:
+            out.append(e)
+    return out
+
+
+_TRANSCENDENTAL = (sympy.sin, sympy.cos, sympy.tan, sympy.exp, sympy.log,
+                   sympy.sinh, sympy.cosh, sympy.tanh, sympy.asin,
+                   sympy.acos, sympy.atan)
+
+
+def estimate_cost(expr):
+    """Flop count of an expression (reference:
+    devito/symbolics/inspection.py estimate_cost:67 — feeds the GFlops/s
+    reporting). Transcendentals count as 1 op (as in the reference's
+    default)."""
+    flops = 0
+
+    def _walk(e):
+        nonlocal flops
+        if not isinstance(e, sympy.Basic) or not e.args:
+            return
+        if isinstance(e, sympy.Add) or isinstance(e, sympy.Mul):
+            flops += len(e.args) - 1
+        elif isinstance(e, sympy.Pow):
+            flops += 1
+        elif isinstance(e, _TRANSCENDENTAL) or isinstance(e, sympy.Function) \
+                and not isinstance(e, AbstractFunction):
+            flops += 1
+        if isinstance(e, AbstractFunction):
+            return
+        for a in e.args:
+            _walk(a)
+
+    _walk(sympy.sympify(expr))
+    return flops

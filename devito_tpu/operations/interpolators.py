@@ -1,0 +1,168 @@
+"""Interpolation / injection: the lazy symbolic objects and the weight
+synthesis used by the executor.
+
+Reference parity: devito/operations/interpolators.py (Interpolation:124,
+Injection:157, LinearInterpolator:513, PrecomputedInterpolator:555,
+SincInterpolator:590 — Hicks Kaiser-windowed sinc, b-values from Table 1 of
+Hicks 2002). Weight math matches the reference; the lowering is TPU-native
+(vectorized gather/scatter, compiler/executor.py)."""
+
+import numpy as np
+
+from ..finite_differences.differentiable import evaluate_expr
+from ..ir.lowering import LoweredSparse, time_access_of
+from ..types.basic import AbstractFunction
+from ..exceptions import InvalidOperator
+
+__all__ = ['Interpolation', 'Injection', 'LinearInterpolator',
+           'SincInterpolator', 'PrecomputedInterpolator']
+
+
+class Interpolation:
+    """Lazy: ``sparse rows <- interp(expr at point coords)``."""
+
+    def __init__(self, sparse, expr, increment=False, u_t=None,
+                 implicit_dims=None):
+        self.sparse = sparse.function
+        self.expr = expr
+        self.increment = increment
+        self.u_t = u_t
+        self.implicit_dims = implicit_dims
+
+    def _lower(self, subs=None):
+        expr = evaluate_expr(self.expr)
+        if subs:
+            expr = expr.subs(subs)
+        return [LoweredSparse('interp', self.sparse, expr,
+                              target_time_off=0, increment=self.increment)]
+
+    def __repr__(self):
+        return f"Interpolation({self.sparse.name} <- {self.expr})"
+
+
+class Injection:
+    """Lazy: ``field <- field + scatter(weights * expr)``."""
+
+    def __init__(self, sparse, field, expr, u_t=None, implicit_dims=None):
+        self.sparse = sparse.function
+        self.field = field
+        self.expr = expr
+        self.u_t = u_t
+        self.implicit_dims = implicit_dims
+
+    def _lower(self, subs=None):
+        expr = evaluate_expr(self.expr)
+        if subs:
+            expr = expr.subs(subs)
+        field = self.field
+        if not isinstance(field, AbstractFunction):
+            raise InvalidOperator(f"Injection field must be a function "
+                                  f"access, got {field}")
+        tk, toff = time_access_of(field)
+        # halo must cover the interpolation radius
+        interp = self.sparse.interpolator
+        radius = interp.max_radius
+        for (hl, hr) in field.function.halo:
+            if hl < radius or hr < radius:
+                raise InvalidOperator(
+                    f"Injection into {field.function.name}: halo "
+                    f"{field.function.halo} smaller than interpolation "
+                    f"radius {radius}")
+        return [LoweredSparse('inject', self.sparse, expr,
+                              field=field.function, field_time_off=toff,
+                              field_time_kind=tk)]
+
+    def __repr__(self):
+        return f"Injection({self.field} += w*{self.expr})"
+
+
+class LinearInterpolator:
+    """Bi/tri-linear interpolation (reference: LinearInterpolator:513)."""
+
+    name = 'linear'
+    max_radius = 1
+
+    def dim_weights(self, px):
+        """Given positions ``px`` (grid-point units, traced array), return
+        (offsets, weight-arrays, base-indices)."""
+        import jax.numpy as jnp
+        base = jnp.floor(px).astype(jnp.int32)
+        frac = px - base
+        return [0, 1], [1.0 - frac, frac], base
+
+    def ncorners(self, ndim):
+        return 2 ** ndim
+
+
+class SincInterpolator:
+    """Hicks (2002) Kaiser-windowed sinc interpolation, radius r in [2, 10]
+    (reference: SincInterpolator:590, b-values from its Table 1)."""
+
+    name = 'sinc'
+
+    _b_table = {2: 2.94, 3: 4.53, 4: 4.14, 5: 5.26, 6: 6.40,
+                7: 7.51, 8: 8.56, 9: 9.56, 10: 10.64}
+
+    def __init__(self, r=2):
+        if r not in self._b_table:
+            raise ValueError(f"sinc radius must be in [2, 10], got {r}")
+        self.r = r
+
+    @property
+    def max_radius(self):
+        return self.r
+
+    def dim_weights(self, px):
+        import jax.numpy as jnp
+        from jax.scipy.special import i0
+        r, b = self.r, self._b_table[self.r]
+        b0 = float(np.i0(b))
+        base = jnp.floor(px).astype(jnp.int32)
+        frac = px - base
+        offsets = list(range(-r + 1, r + 1))
+        ws = []
+        for off in offsets:
+            rpos = off - frac
+            arg = jnp.maximum(1.0 - (rpos / r) ** 2, 0.0)
+            w = i0(b * jnp.sqrt(arg)) / b0 * jnp.sinc(rpos)
+            ws.append(w)
+        return offsets, ws, base
+
+    def ncorners(self, ndim):
+        return (2 * self.r) ** ndim
+
+
+class PrecomputedInterpolator:
+    """User-supplied gridpoints + per-dim coefficient tables (reference:
+    PrecomputedInterpolator:555)."""
+
+    name = 'precomputed'
+
+    def __init__(self, sfunction):
+        self.sf = sfunction
+        self.r = type(sfunction)._r
+
+    @property
+    def max_radius(self):
+        return self.r
+
+    def dim_weights_precomputed(self, j):
+        """Return (offsets, coeff-table (P, npts), gridpoints (P,)) for
+        dim j; consumed by a dedicated executor path."""
+        import jax.numpy as jnp
+        gp = jnp.asarray(self.sf.gridpoints[:, j])
+        coeffs = jnp.asarray(self.sf.interpolation_coeffs[:, j, :])
+        npts = coeffs.shape[-1]
+        offsets = list(range(npts))
+        return offsets, coeffs, gp
+
+    def dim_weights(self, px):
+        import jax.numpy as jnp
+        # px is ignored; positions come from the stored gridpoints. The
+        # executor detects this interpolator and uses
+        # ``dim_weights_precomputed`` instead.
+        raise NotImplementedError(
+            "PrecomputedInterpolator requires the precomputed geometry path")
+
+    def ncorners(self, ndim):
+        return (2 * self.r) ** ndim

@@ -1,0 +1,356 @@
+"""The Operator: compilation orchestration + runtime args + execution.
+
+Reference parity: devito/operator/operator.py (Operator:54 — _lower
+pipeline, _prepare_arguments:583, apply:956, profiling emission:1093).
+
+TPU-native pipeline: expressions -> evaluate (FD expansion) -> LoweredEq
+schedule -> a single jitted `lax.fori_loop` runner (compiler/executor.py),
+cached per buffer signature (the analog of the reference's soname-hashed
+on-disk JIT cache, arch/compiler.py:376). Written buffers are donated to
+XLA so time marching updates HBM in place.
+"""
+
+import time as _time
+from collections import OrderedDict
+
+import numpy as np
+import sympy
+
+from ..ir.lowering import (LoweredEq, LoweredSparse, lower_expressions,
+                           estimate_cost, time_access_of)
+from ..compiler.executor import build_runner
+from ..types.basic import AbstractFunction, retrieve_functions
+from ..types.constant import Constant
+from ..types.dimension import Dimension
+from ..exceptions import InvalidArgument, ExecutionError
+from ..logger import perf as log_perf, info
+from ..parameters import configuration
+from .profiling import PerformanceSummary
+
+__all__ = ['Operator']
+
+
+class Operator:
+    """Compile a list of expressions into a callable kernel.
+
+    ``Operator(expressions, subs=model.spacing_map, name=..., opt=...)``;
+    run with ``op.apply(dt=..., time_M=...)`` (also accepts ``time`` as an
+    alias for ``time_M``, and per-function data overrides by name).
+    """
+
+    def __init__(self, expressions, subs=None, name='Kernel', opt=None,
+                 **kwargs):
+        self._name = name
+        self._opt = opt or configuration['opt']
+        tic = _time.perf_counter()
+        self._schedule = lower_expressions(expressions, subs=subs)
+        self._collect()
+        self._runner = build_runner(self._schedule, tuple(self._writes))
+        self._jit_cache = {}
+        self._estimate_flops()
+        self._build_time = _time.perf_counter() - tic
+
+    # -- lowering metadata -------------------------------------------------
+
+    def _collect(self):
+        reads = OrderedDict()
+        writes = OrderedDict()
+        sparse = OrderedDict()
+
+        def _add_expr_fns(expr):
+            for a in retrieve_functions(expr):
+                fn = a.function
+                reads[fn.name] = fn
+                if fn.is_SparseFunction:
+                    sparse[fn.name] = fn
+
+        for it in self._schedule.all_items:
+            if isinstance(it, LoweredEq):
+                writes[it.target.name] = it.target
+                reads[it.target.name] = it.target
+                _add_expr_fns(it.rhs)
+                if it.condition is not None:
+                    _add_expr_fns(it.condition)
+            elif isinstance(it, LoweredSparse):
+                sparse[it.sparse.name] = it.sparse
+                reads[it.sparse.name] = it.sparse
+                _add_expr_fns(it.expr)
+                if it.kind == 'interp':
+                    writes[it.sparse.name] = it.sparse
+                else:
+                    writes[it.field.name] = it.field
+                    reads[it.field.name] = it.field
+
+        self._reads = reads
+        self._writes = writes
+        self._sparse = sparse
+
+        # free scalar symbols (h_x, dt, Constants, ...)
+        syms = OrderedDict()
+        for it in self._schedule.all_items:
+            exprs = []
+            if isinstance(it, LoweredEq):
+                exprs = [it.rhs] + ([it.condition] if it.condition is not None
+                                    else [])
+            else:
+                exprs = [it.expr]
+            for e in exprs:
+                for s in sympy.sympify(e).free_symbols:
+                    if isinstance(s, Dimension) or isinstance(
+                            s, AbstractFunction):
+                        continue
+                    if isinstance(s, sympy.Symbol):
+                        syms[s.name] = s
+        # sparse geometry always needs spacings
+        for fn in sparse.values():
+            if fn.grid is not None:
+                for d in fn.grid.dimensions:
+                    syms[d.spacing.name] = d.spacing
+        self._symbols = syms
+
+        # grid (for spacing defaults)
+        self._grid = None
+        for fn in reads.values():
+            if fn.grid is not None:
+                self._grid = fn.grid
+                break
+
+    def _estimate_flops(self):
+        per_step = 0
+        points_per_step = 0
+        traffic_per_step = 0
+        static = 0
+        for it in self._schedule.body:
+            if isinstance(it, LoweredEq):
+                vol = 1
+                for (a, b) in it.region:
+                    vol *= (b - a)
+                c = estimate_cost(it.rhs) + (1 if it.increment else 0)
+                per_step += c * vol
+                points_per_step += vol
+                nfuncs = len(retrieve_functions(it.rhs)) + 1
+                traffic_per_step += nfuncs * vol * it.target.dtype.itemsize
+            elif isinstance(it, LoweredSparse):
+                npts = it.sparse.npoint or 0
+                c = estimate_cost(it.expr) + 2
+                corners = it.sparse.interpolator.ncorners(
+                    it.sparse.grid.dim if it.sparse.grid else 2)
+                per_step += c * npts * corners
+        for it in self._schedule.prologue + self._schedule.epilogue:
+            if isinstance(it, LoweredEq):
+                vol = 1
+                for (a, b) in it.region:
+                    vol *= (b - a)
+                static += estimate_cost(it.rhs) * vol
+        self._flops_per_step = per_step
+        self._points_per_step = points_per_step
+        self._traffic_per_step = traffic_per_step
+        self._static_flops = static
+
+    # -- public introspection ---------------------------------------------
+
+    @property
+    def name(self):
+        return self._name
+
+    @property
+    def schedule(self):
+        return self._schedule
+
+    @property
+    def reads(self):
+        return tuple(self._reads.values())
+
+    @property
+    def writes(self):
+        return tuple(self._writes.values())
+
+    def __str__(self):
+        lines = [f"Operator `{self._name}` "
+                 f"(direction={'fwd' if self._schedule.direction > 0 else 'bwd'})"]
+        for sec, items in [('prologue', self._schedule.prologue),
+                           ('time loop', self._schedule.body),
+                           ('epilogue', self._schedule.epilogue)]:
+            if items:
+                lines.append(f"  {sec}:")
+                for it in items:
+                    lines.append(f"    {it!r}")
+        return "\n".join(lines)
+
+    __repr__ = __str__
+
+    # -- runtime arguments -------------------------------------------------
+
+    def _default_time_bounds(self):
+        """Derive default time_m/time_M from save-array extents (reference:
+        dspace-derived defaults, operator.py:583)."""
+        tmins, tmaxs = [0], []
+        for it in self._schedule.body:
+            accs = []
+            if isinstance(it, LoweredEq):
+                accs = list(retrieve_functions(it.rhs))
+                if it.lhs_access is not None:
+                    accs.append(it.lhs_access)
+            elif isinstance(it, LoweredSparse):
+                accs = list(retrieve_functions(it.expr))
+                if it.kind == 'interp' and it.sparse.is_SparseTimeFunction:
+                    tmaxs.append(it.sparse.shape[0] - 1 - it.target_time_off)
+            for a in accs:
+                fn = a.function
+                tk, off = time_access_of(a)
+                if tk == 'save':
+                    size = fn.shape[0]
+                    if off >= 0:
+                        tmaxs.append(size - 1 - off)
+                    else:
+                        tmins.append(-off)
+                        tmaxs.append(size - 1)
+                elif tk == 'cond':
+                    size = fn._time_size or (fn.save or 1)
+                    f = fn.dimensions[0].factor or 1
+                    if size is not None:
+                        tmaxs.append(f * (size - off) - 1)
+        tm = max(tmins)
+        tM = min(tmaxs) if tmaxs else None
+        return tm, tM
+
+    def arguments(self, **kwargs):
+        """Assemble runtime arguments (dry-run of apply's preparation)."""
+        return self._prepare(kwargs)[0:3]
+
+    def _prepare(self, kwargs):
+        # function overrides by name
+        overrides = {}
+        for k in list(kwargs):
+            v = kwargs[k]
+            if isinstance(v, AbstractFunction):
+                overrides[k] = v.function
+                kwargs.pop(k)
+            elif hasattr(v, 'is_SparseFunction') and v.is_SparseFunction:
+                overrides[k] = v
+                kwargs.pop(k)
+
+        bound = {}
+        for name, fn in self._reads.items():
+            bound[name] = overrides.get(name, fn)
+
+        wbufs, rbufs = {}, {}
+        for name, fn in bound.items():
+            arr = fn._device_array()
+            if name in self._writes:
+                wbufs[name] = arr
+            else:
+                rbufs[name] = arr
+            if fn.is_SparseFunction:
+                rbufs[f"{name}_coords"] = fn._coords_device()
+
+        # scalar params
+        params = {}
+        if self._grid is not None:
+            for s, v in self._grid.spacing_map.items():
+                params[s.name] = float(v)
+        for name, s in self._symbols.items():
+            if isinstance(s, Constant):
+                params[name] = float(s.value)
+        for name in self._symbols:
+            if name in kwargs:
+                params[name] = float(kwargs.pop(name))
+            elif name not in params:
+                raise InvalidArgument(f"Missing runtime value for `{name}`")
+        # always accept dt / spacing overrides even when folded out of the
+        # expressions (reference: these are known dimension arguments)
+        known_scalars = {'dt'}
+        if self._grid is not None:
+            known_scalars.update(s.name for s in self._grid.spacing_map)
+        for name in list(kwargs):
+            if name in known_scalars and isinstance(
+                    kwargs[name], (int, float, np.floating, np.integer)):
+                params[name] = float(kwargs.pop(name))
+        # spacings for sparse geometry even when subs pre-folded
+        if self._sparse and self._grid is not None:
+            for s, v in self._grid.spacing_map.items():
+                params.setdefault(s.name, float(v))
+
+        # time bounds
+        tm_d, tM_d = self._default_time_bounds()
+        time_m = kwargs.pop('time_m', kwargs.pop('t_m', None))
+        time_M = kwargs.pop('time_M', kwargs.pop('t_M', None))
+        t_alias = kwargs.pop('time', kwargs.pop('t', None))
+        if time_M is None and t_alias is not None:
+            time_M = t_alias
+        if time_m is None:
+            time_m = tm_d
+        if time_M is None:
+            time_M = tM_d
+        if self._schedule.body and time_M is None:
+            raise InvalidArgument(
+                "Cannot derive `time_M`; pass time_M= or time=")
+
+        unknown = [k for k in kwargs if k not in ('autotune', 'summary')]
+        if unknown and not configuration['ignore-unknowns']:
+            raise InvalidArgument(f"Unknown arguments {unknown}")
+
+        return (wbufs, rbufs, params, int(time_m or 0), int(time_M or 0),
+                bound)
+
+    # -- execution ---------------------------------------------------------
+
+    def _compiled(self, wbufs, rbufs, params, tm, tM):
+        import jax
+        key = (tuple(sorted((k, v.shape, str(v.dtype))
+                            for k, v in wbufs.items())),
+               tuple(sorted((k, v.shape, str(v.dtype))
+                            for k, v in rbufs.items())),
+               tuple(sorted(params)))
+        hit = self._jit_cache.get(key)
+        if hit is not None:
+            return hit, False
+        tic = _time.perf_counter()
+        jitted = jax.jit(self._runner, donate_argnums=(0,))
+        compiled = jitted.lower(wbufs, rbufs, params, tm, tM).compile()
+        jit_time = _time.perf_counter() - tic
+        self._jit_cache[key] = compiled
+        log_perf(f"Operator `{self._name}` jit-compiled in {jit_time:.2f} s")
+        return compiled, True
+
+    def apply(self, **kwargs):
+        import jax
+        import numpy as _np
+        wbufs, rbufs, params, time_m, time_M, bound = self._prepare(kwargs)
+
+        tm = _np.int32(time_m)
+        tM = _np.int32(time_M)
+        compiled, _ = self._compiled(wbufs, rbufs, params, tm, tM)
+
+        tic = _time.perf_counter()
+        out = compiled(wbufs, rbufs, params, tm, tM)
+        jax.block_until_ready(out)
+        elapsed = _time.perf_counter() - tic
+
+        # adopt outputs (device authoritative)
+        for name, arr in out.items():
+            bound[name]._set_device_array(arr)
+        # nan/inf stability check (reference: passes/iet/errors.py
+        # check_stability -> ExecutionError)
+        if configuration['develop-mode']:
+            for name, arr in out.items():
+                if not bool(_np.isfinite(
+                        _np.asarray(arr).ravel()[:1000]).all()):
+                    raise ExecutionError(
+                        f"Detected nan/inf in `{name}` output")
+
+        nsteps = max(time_M - time_m + 1, 0) if self._schedule.body else 0
+        flops = self._flops_per_step * nsteps + self._static_flops
+        points = self._points_per_step * nsteps
+        traffic = self._traffic_per_step * nsteps
+        summary = PerformanceSummary()
+        summary.add('section0', elapsed, flops=flops, points=points,
+                    traffic=traffic)
+        summary.add_glb(elapsed, flops=flops, points=points, traffic=traffic)
+        e = summary['section0']
+        log_perf(f"Operator `{self._name}` ran in {elapsed:.4f} s "
+                 f"[{e.gpointss:.2f} GPts/s, {e.gflopss:.2f} GFlops/s]")
+        return summary
+
+    def __call__(self, **kwargs):
+        return self.apply(**kwargs)

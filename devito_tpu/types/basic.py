@@ -1,0 +1,231 @@
+"""Symbol machinery: the AbstractFunction hierarchy.
+
+Reference parity: devito/types/basic.py (AbstractFunction:647 with
+halo/indexing machinery, caching via types/caching.py). Functions are
+sympy applied functions — ``u(t, x, y)`` — whose *class* is created
+dynamically per name (the sympy-idiomatic equivalent of the reference's
+cached FunctionClass subclasses), so ``subs``/``xreplace``/rebuilds preserve
+identity and metadata.
+
+TPU-first deviations from the reference:
+- No C-level metadata (``_C_ctype``/dataobj structs); data lives in a
+  host(numpy)/device(jax.Array) coherent pair managed per Function
+  (see dense.py), replacing the reference's ctypes allocators
+  (devito/data/allocators.py) with XLA-managed device memory.
+- Index expressions are in grid-point units (see types/dimension.py).
+"""
+
+import numpy as np
+import sympy
+from sympy import Rational
+
+from .dimension import Dimension
+from ..finite_differences.differentiable import Differentiable
+from ..utils import as_tuple
+
+__all__ = ['AbstractFunction', 'retrieve_functions', 'retrieve_dimensions',
+           'NODE', 'CELL', '_symbol_cache']
+
+# Stagger markers (reference: devito staggered grid API)
+NODE = 'node'
+CELL = 'cell'
+
+_symbol_cache = {}
+
+
+class AbstractFunction(Differentiable, sympy.Function):
+    """Base class for all grid/sparse functions. Do not instantiate directly;
+    use Function/TimeFunction/SparseFunction etc."""
+
+    _metadata_set = False
+
+    # Type flags (refined in subclasses)
+    is_DiscreteFunction = True
+    is_Function = False
+    is_TimeFunction = False
+    is_SparseFunction = False
+    is_SparseTimeFunction = False
+    is_Constant = False
+
+    @classmethod
+    def eval(cls, *args):
+        return None
+
+    def __new__(cls, *args, **kwargs):
+        if cls._metadata_set:
+            # Re-application by sympy (subs/xreplace/rebuild): args are index
+            # expressions; metadata lives on the class.
+            obj = sympy.Function.__new__(cls, *args)
+            return obj
+
+        # Fresh user-level construction
+        name = kwargs.pop('name', None)
+        if name is None:
+            raise TypeError(f"{cls.__name__} requires a `name`")
+        key = (cls, name) + cls._cache_key(**kwargs)
+        if key in _symbol_cache:
+            return _symbol_cache[key]
+
+        newcls = type(cls)(name, (cls,), {'_metadata_set': True,
+                                          '__module__': cls.__module__})
+        newcls.__init_metadata__(name=name, **kwargs)
+        obj = sympy.Function.__new__(newcls, *newcls._dimensions)
+        newcls._canonical = obj
+        newcls._cache_lookup = key
+        _symbol_cache[key] = obj
+        obj.__init_finalize__()
+        return obj
+
+    @classmethod
+    def _cache_key(cls, **kwargs):
+        def _h(v):
+            if isinstance(v, (list, tuple)):
+                return tuple(_h(i) for i in v)
+            if isinstance(v, np.dtype):
+                return str(v)
+            if isinstance(v, np.ndarray):
+                return (v.shape, v.dtype.str, v.tobytes()[:64])
+            try:
+                hash(v)
+                return v
+            except TypeError:
+                return id(v)
+        return tuple((k, _h(v)) for k, v in sorted(kwargs.items()))
+
+    @classmethod
+    def __init_metadata__(cls, **kwargs):
+        """Populate class-level metadata. Subclasses extend."""
+        raise NotImplementedError
+
+    def __init_finalize__(self):
+        pass
+
+    def __init__(self, *args, **kwargs):
+        pass
+
+    # -- identity ---------------------------------------------------------
+
+    @property
+    def name(self):
+        return type(self).__name__
+
+    @property
+    def function(self):
+        """The canonical (unshifted) instance of this function."""
+        return type(self)._canonical
+
+    @property
+    def indices(self):
+        return self.args
+
+    @property
+    def dimensions(self):
+        return type(self)._dimensions
+
+    @property
+    def grid(self):
+        return type(self)._grid
+
+    @property
+    def dtype(self):
+        return type(self)._dtype
+
+    @property
+    def space_order(self):
+        return getattr(type(self), '_space_order', None)
+
+    @property
+    def time_order(self):
+        return getattr(type(self), '_time_order', None)
+
+    @property
+    def staggered(self):
+        return getattr(type(self), '_staggered', None)
+
+    def stagger_offset(self, dim):
+        """Physical offset (0 or 1/2, in spacing units) of this function's
+        samples along ``dim``."""
+        stag = self.staggered
+        if stag is None or stag == NODE:
+            return Rational(0)
+        if stag == CELL:
+            return Rational(1, 2) if dim.is_Space else Rational(0)
+        if dim in as_tuple(stag):
+            return Rational(1, 2)
+        return Rational(0)
+
+    # -- structural helpers ----------------------------------------------
+
+    def _subs_index(self, position, delta):
+        new_args = list(self.args)
+        new_args[position] = new_args[position] + delta
+        return type(self)(*new_args)
+
+    def shift(self, dim, delta):
+        """Shift the index along ``dim``'s root by ``delta`` grid points."""
+        for i, (d, a) in enumerate(zip(self.dimensions, self.args)):
+            if d.root == getattr(dim, 'root', dim) or d == dim:
+                return self._subs_index(i, delta)
+        raise ValueError(f"{self} has no dimension {dim}")
+
+    def index_offsets(self):
+        """Map dimension -> integer offset of this access (e.g.
+        u(t+1, x-2, y) -> {t: 1, x: -2, y: 0}). Raises on non-affine
+        accesses."""
+        out = {}
+        for d, a in zip(self.dimensions, self.args):
+            off = sympy.simplify(a - d)
+            out[d] = off
+        return out
+
+    # Pickling support for dynamically created classes
+    def __reduce_ex__(self, protocol):
+        meta = dict(type(self)._constructor_kwargs)
+        return (_reconstruct_function,
+                (type(self).__bases__[0], meta, tuple(self.args)))
+
+    def __getnewargs_ex__(self):
+        return (), {}
+
+
+def _reconstruct_function(basecls, meta, args):
+    fn = basecls(**meta)
+    cls = type(fn)
+    if tuple(args) == tuple(fn.args):
+        return fn
+    return cls(*args)
+
+
+def retrieve_functions(expr):
+    """All AbstractFunction accesses appearing in ``expr`` (recursing into
+    unevaluated Derivative nodes)."""
+    from ..finite_differences.derivative import Derivative
+    out = []
+    seen = set()
+
+    def _walk(e):
+        if not isinstance(e, sympy.Basic):
+            return
+        if isinstance(e, AbstractFunction):
+            if e not in seen:
+                seen.add(e)
+                out.append(e)
+            return
+        if isinstance(e, Derivative):
+            _walk(e.expr)
+            return
+        for a in e.args:
+            _walk(a)
+
+    _walk(sympy.sympify(expr))
+    return out
+
+
+def retrieve_dimensions(expr):
+    """All Dimensions appearing in ``expr``."""
+    dims = [d for d in sympy.sympify(expr).free_symbols
+            if isinstance(d, Dimension)]
+    for f in retrieve_functions(expr):
+        dims.extend(f.function.dimensions)
+    from ..utils import filter_ordered
+    return filter_ordered(dims)

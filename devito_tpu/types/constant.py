@@ -1,0 +1,61 @@
+"""Constant: a scalar runtime parameter.
+
+Reference parity: devito/types/constant.py (Constant:10) — a symbol whose
+value is supplied (or overridden) at ``op.apply`` time. In the TPU build a
+Constant lowers to a traced scalar argument of the jitted step, so changing
+its value never retriggers compilation.
+"""
+
+import numpy as np
+import sympy
+from sympy.core.cache import cacheit
+
+from ..finite_differences.differentiable import Differentiable
+
+__all__ = ['Constant']
+
+
+class Constant(Differentiable, sympy.Symbol):
+
+    is_Constant = True
+    is_DiscreteFunction = False
+
+    __xnew_cached_ = staticmethod(cacheit(
+        lambda cls, name: sympy.Symbol.__xnew__(cls, name, real=True)))
+
+    def __new__(cls, name=None, value=0, dtype=np.float32, **kwargs):
+        obj = cls.__xnew_cached_(cls, name)
+        obj._value = value
+        obj._dtype = np.dtype(dtype)
+        return obj
+
+    @property
+    def data(self):
+        return self._value
+
+    @data.setter
+    def data(self, v):
+        self._value = v
+
+    @property
+    def value(self):
+        return self._value
+
+    @value.setter
+    def value(self, v):
+        self._value = v
+
+    @property
+    def dtype(self):
+        return self._dtype
+
+    @property
+    def dimensions(self):
+        return ()
+
+    @property
+    def _functions(self):
+        return []
+
+    def _hashable_content(self):
+        return super()._hashable_content() + ('Constant',)

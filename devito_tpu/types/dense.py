@@ -1,0 +1,294 @@
+"""Dense grid functions: Function and TimeFunction.
+
+Reference parity: devito/types/dense.py (DiscreteFunction:43 with lazy
+allocation and halo views, Function:975, TimeFunction:1345 with
+``time_order``, ``save`` vs rolling buffer, ``.forward``/``.backward``).
+
+TPU-first data plane: each function owns a coherent host(numpy)/device
+(jax.Array) buffer pair. ``.data`` hands out a writable numpy *domain view*
+(host becomes authoritative); Operators pull a device copy before running
+and mark the device authoritative for outputs — this replaces the
+reference's ctypes allocators + dataobj structs and minimizes HBM<->host
+traffic across repeated ``op.apply`` calls.
+"""
+
+import numpy as np
+import sympy
+
+from .basic import AbstractFunction, NODE
+from .dimension import ConditionalDimension
+from ..utils import as_tuple
+
+__all__ = ['DiscreteFunction', 'Function', 'TimeFunction']
+
+
+class DiscreteFunction(AbstractFunction):
+    """Common data machinery for grid-backed functions."""
+
+    # data coherence states
+    _HOST, _DEV, _BOTH = 'host', 'dev', 'both'
+
+    @classmethod
+    def __init_metadata__(cls, name=None, grid=None, shape=None,
+                          dimensions=None, dtype=None, space_order=2,
+                          staggered=None, padding=None, initializer=None,
+                          allocator=None, parameter=False, avg_mode=None,
+                          coefficients=None, **kwargs):
+        cls._grid = grid
+        if grid is not None:
+            space_dims = grid.dimensions
+            space_shape = grid.shape
+            dtype = dtype or grid.dtype
+        else:
+            space_dims = as_tuple(dimensions)
+            space_shape = as_tuple(shape)
+            dtype = dtype or np.float32
+        if dimensions is not None:
+            space_dims = as_tuple(dimensions)
+        if shape is not None:
+            space_shape = as_tuple(shape)
+        cls._space_dimensions = space_dims
+        cls._space_shape = space_shape
+        cls._dtype = np.dtype(dtype)
+        cls._space_order = space_order
+        cls._staggered = cls._normalize_staggered(staggered, space_dims)
+        cls._initializer = initializer
+        cls._is_parameter = parameter
+        cls._coefficients = coefficients
+        # halo per space dim, each side (generous: space_order, as in the
+        # reference's default halo sizing)
+        cls._halo = tuple((space_order, space_order) for _ in space_dims)
+        cls._dimensions = cls._make_dimensions()
+        cls._constructor_kwargs = dict(
+            name=name, grid=grid, shape=shape, dimensions=dimensions,
+            dtype=cls._dtype, space_order=space_order, staggered=staggered,
+            parameter=parameter)
+        # data buffers (host numpy padded, device jax, coherence state)
+        cls._host_buf = None
+        cls._dev_buf = None
+        cls._coh = cls._HOST
+
+    @staticmethod
+    def _normalize_staggered(staggered, dims):
+        if staggered is None or staggered == NODE:
+            return None
+        return staggered
+
+    @classmethod
+    def _make_dimensions(cls):
+        return cls._space_dimensions
+
+    # -- shapes -----------------------------------------------------------
+
+    @property
+    def time_dim(self):
+        return getattr(type(self), '_time_dim_', None)
+
+    @property
+    def space_dimensions(self):
+        return type(self)._space_dimensions
+
+    @property
+    def shape(self):
+        return type(self)._space_shape
+
+    @property
+    def halo(self):
+        return type(self)._halo
+
+    @property
+    def shape_with_halo(self):
+        return tuple(n + l + r for n, (l, r)
+                     in zip(self.shape, self.halo))
+
+    shape_allocated = shape_with_halo
+
+    @property
+    def is_parameter(self):
+        return type(self)._is_parameter
+
+    @property
+    def symbolic_shape(self):
+        return self.shape
+
+    # -- data management --------------------------------------------------
+
+    def _allocate(self):
+        cls = type(self)
+        if cls._host_buf is None:
+            cls._host_buf = np.zeros(self.shape_allocated, dtype=self.dtype)
+            if cls._initializer is not None:
+                view = self._domain_view(cls._host_buf)
+                cls._initializer(view)
+        return cls._host_buf
+
+    def _domain_view(self, buf):
+        slices = self._leading_slices() + tuple(
+            slice(l, l + n) for n, (l, r) in zip(self.shape, self.halo))
+        return buf[slices]
+
+    def _leading_slices(self):
+        return ()
+
+    def _ensure_host(self):
+        cls = type(self)
+        self._allocate()
+        if cls._coh == self._DEV:
+            np.copyto(cls._host_buf, np.asarray(cls._dev_buf))
+        cls._coh = self._HOST  # user may write through the view
+        cls._dev_buf = None
+        return cls._host_buf
+
+    def _device_array(self):
+        """Padded device buffer (jax.Array), pushing host data if needed."""
+        import jax.numpy as jnp
+        cls = type(self)
+        self._allocate()
+        if cls._coh == self._HOST or cls._dev_buf is None:
+            cls._dev_buf = jnp.asarray(cls._host_buf)
+            cls._coh = self._BOTH
+        return cls._dev_buf
+
+    def _set_device_array(self, arr):
+        """Adopt ``arr`` as the authoritative (device) padded buffer."""
+        cls = type(self)
+        cls._dev_buf = arr
+        cls._coh = self._DEV
+
+    @property
+    def data(self):
+        """Writable numpy view over the domain region."""
+        return self._domain_view(self._ensure_host())
+
+    @property
+    def data_with_halo(self):
+        return self._ensure_host()
+
+    # Read-only accessors (reference API)
+    @property
+    def data_ro_domain(self):
+        v = self.data
+        v = v.view()
+        v.flags.writeable = False
+        return v
+
+    @property
+    def data_ro_with_halo(self):
+        v = self.data_with_halo.view()
+        v.flags.writeable = False
+        return v
+
+
+class Function(DiscreteFunction):
+    """A space-varying discrete function ``f(x, y[, z])``.
+
+    ``Function(name='f', grid=grid, space_order=so)``.
+    """
+
+    is_Function = True
+
+    @property
+    def _time_size(self):
+        return None
+
+    def avg(self, dims=None):
+        """Arithmetic average over the 2^n neighboring points toward the
+        staggered cell (reference: Function.avg, used by staggered-grid
+        physics for material parameters)."""
+        dims = as_tuple(dims) if dims is not None else self.space_dimensions
+        from ..finite_differences.differentiable import Add, Mul
+        shifts = [self]
+        for d in dims:
+            shifts = [s.subs(d, d + r) for s in shifts for r in (0, 1)]
+        return Mul(sympy.Rational(1, len(shifts)), Add(*shifts))
+
+
+class TimeFunction(Function):
+    """A time- and space-varying function ``u(t, x, y[, z])``.
+
+    ``TimeFunction(name='u', grid=grid, time_order=2, space_order=so,
+    save=None)``. With ``save=None`` a rolling buffer of ``time_order + 1``
+    slots is used (reference: SteppingDimension modulo buffering); with
+    ``save=N`` the full time history is stored.
+    """
+
+    is_TimeFunction = True
+
+    @classmethod
+    def __init_metadata__(cls, time_order=1, save=None, time_dim=None,
+                          **kwargs):
+        cls._time_order = time_order
+        cls._save = save
+        cls._user_time_dim = time_dim
+        super().__init_metadata__(**kwargs)
+        cls._constructor_kwargs.update(time_order=time_order, save=save)
+
+    @classmethod
+    def _make_dimensions(cls):
+        grid = cls._grid
+        if cls._user_time_dim is not None:
+            tdim = cls._user_time_dim
+        elif cls._save is not None:
+            tdim = grid.time_dim if grid is not None else None
+        else:
+            tdim = grid.stepping_dim if grid is not None else None
+        if tdim is None:
+            from .dimension import TimeDimension, SteppingDimension
+            time = TimeDimension('time')
+            tdim = time if cls._save is not None else \
+                SteppingDimension('t', parent=time)
+        cls._time_dim_ = tdim
+        return (tdim,) + cls._space_dimensions
+
+    @property
+    def time_dim(self):
+        return type(self)._time_dim_
+
+    @property
+    def save(self):
+        return type(self)._save
+
+    @property
+    def _time_size(self):
+        cls = type(self)
+        if cls._save is not None:
+            return cls._save
+        if isinstance(cls._time_dim_, ConditionalDimension):
+            return None  # must be given via save
+        return cls._time_order + 1
+
+    @property
+    def shape(self):
+        return (self._time_size,) + type(self)._space_shape
+
+    @property
+    def shape_with_halo(self):
+        return (self._time_size,) + tuple(
+            n + l + r for n, (l, r) in zip(type(self)._space_shape,
+                                           self.halo))
+
+    shape_allocated = shape_with_halo
+
+    @property
+    def halo(self):
+        return type(self)._halo  # space-only; callers index by space dim
+
+    def _leading_slices(self):
+        return (slice(None),)
+
+    def _domain_view(self, buf):
+        slices = (slice(None),) + tuple(
+            slice(l, l + n) for n, (l, r) in zip(type(self)._space_shape,
+                                                 type(self)._halo))
+        return buf[slices]
+
+    # -- time shifts ------------------------------------------------------
+
+    @property
+    def forward(self):
+        """u at the next time slot (reference: TimeFunction.forward)."""
+        return self._subs_index(0, 1)
+
+    @property
+    def backward(self):
+        return self._subs_index(0, -1)

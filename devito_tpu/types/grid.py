@@ -1,0 +1,289 @@
+"""Grid and SubDomain.
+
+Reference parity: devito/types/grid.py (Grid:72, SubDomain:566, Interior,
+SubDomainSet:783). The Grid owns the Cartesian domain (shape, extent,
+origin, spacing symbols), the time/stepping dimensions, and — in the TPU
+build — an optional `Distributor` wrapping a `jax.sharding.Mesh` for
+multi-chip spatial decomposition (reference: Grid creates an MPI
+Distributor per communicator).
+"""
+
+import numpy as np
+import sympy
+
+from .dimension import (SpaceDimension, TimeDimension, SteppingDimension,
+                        SubDimension)
+from ..utils import as_tuple
+from ..parameters import configuration
+
+__all__ = ['Grid', 'SubDomain', 'SubDomainSet', 'Interior', 'Domain']
+
+_DEFAULT_DIM_NAMES = ['x', 'y', 'z']
+
+
+class Grid:
+    """A Cartesian grid: ``Grid(shape=(nx, ny), extent=..., origin=...)``.
+
+    Parameters mirror the reference Grid. ``shape`` counts grid points;
+    ``extent`` is the physical size (so spacing = extent/(shape-1));
+    ``origin`` the physical coordinates of the first point.
+    """
+
+    def __init__(self, shape, extent=None, origin=None, dimensions=None,
+                 time_dimension=None, dtype=None, subdomains=None,
+                 comm=None, topology=None, distributor=None):
+        self._shape = as_tuple(shape)
+        ndim = len(self._shape)
+        self._extent = as_tuple(extent) if extent is not None else \
+            tuple(float(s - 1) for s in self._shape)
+        self._origin = as_tuple(origin) if origin is not None else \
+            (0.,) * ndim
+
+        if dimensions is None:
+            if ndim <= 3:
+                names = _DEFAULT_DIM_NAMES[:ndim]
+                # match reference: 2-D grids use (x, y); 3-D (x, y, z)
+            else:
+                names = [f"x{i}" for i in range(ndim)]
+            dimensions = tuple(SpaceDimension(n) for n in names)
+        self._dimensions = as_tuple(dimensions)
+
+        if time_dimension is None:
+            time_dimension = TimeDimension('time')
+        self._time_dim = time_dimension
+        self._stepping_dim = SteppingDimension('t', parent=self._time_dim)
+
+        if dtype is None:
+            dtype = np.dtype(configuration['dtype'])
+        self._dtype = np.dtype(dtype)
+
+        # Distributor for multi-chip sharding (None = single chip)
+        self._distributor = distributor
+        if distributor is None and (comm is not None or topology is not None):
+            from ..parallel.distributor import Distributor
+            self._distributor = Distributor(self, topology=topology)
+
+        self._subdomains = [Domain(grid=self), Interior(grid=self)]
+        for sd in as_tuple(subdomains):
+            sd.__subdomain_finalize__(self)
+            self._subdomains.append(sd)
+
+    @property
+    def shape(self):
+        return self._shape
+
+    @property
+    def dimensions(self):
+        return self._dimensions
+
+    @property
+    def dim(self):
+        return len(self._shape)
+
+    @property
+    def extent(self):
+        return self._extent
+
+    @property
+    def origin(self):
+        return self._origin
+
+    @property
+    def origin_map(self):
+        return {sympy.Symbol(f"o_{d.name}"): v
+                for d, v in zip(self.dimensions, self.origin)}
+
+    @property
+    def dtype(self):
+        return self._dtype
+
+    @property
+    def time_dim(self):
+        return self._time_dim
+
+    @property
+    def stepping_dim(self):
+        return self._stepping_dim
+
+    @property
+    def spacing(self):
+        return tuple(e / max(s - 1, 1) for e, s in zip(self.extent, self.shape))
+
+    @property
+    def spacing_symbols(self):
+        return tuple(d.spacing for d in self.dimensions)
+
+    @property
+    def spacing_map(self):
+        """Map spacing symbols -> numeric values (incl. nothing for dt, which
+        is a runtime argument)."""
+        return dict(zip(self.spacing_symbols, self.spacing))
+
+    @property
+    def subdomains(self):
+        return {sd.name: sd for sd in self._subdomains}
+
+    @property
+    def interior(self):
+        return self.subdomains['interior']
+
+    @property
+    def distributor(self):
+        return self._distributor
+
+    @property
+    def is_distributed(self):
+        return self._distributor is not None
+
+    @property
+    def shape_local(self):
+        if self._distributor is None:
+            return self.shape
+        return self._distributor.shape_local
+
+    def __repr__(self):
+        return (f"Grid[extent={self.extent}, shape={self.shape}, "
+                f"dimensions={self.dimensions}]")
+
+    # Convenience mirroring reference `Grid._arg_defaults`
+    def _arg_defaults(self):
+        args = {}
+        for d, s in zip(self.dimensions, self.shape):
+            args[d.min_name] = 0
+            args[d.max_name] = s - 1
+        return args
+
+
+class SubDomain:
+    """A rectangular sub-region of a Grid, defined per dimension as one of:
+    - ``('left', k)``: first k points
+    - ``('right', k)``: last k points
+    - ``('middle', l, r)``: all but l leftmost and r rightmost points
+    - ``x`` (the dimension itself): the whole dimension
+
+    Subclass and override ``define`` (reference API), or use directly via
+    ``SubDomain(name, {d: spec})``.
+    """
+
+    name = None
+
+    def __init__(self, name=None, spec=None, grid=None):
+        if name is not None:
+            self.name = name
+        self._spec = spec
+        self._dimensions = None
+        if grid is not None:
+            self.__subdomain_finalize__(grid)
+
+    def define(self, dimensions):
+        """Return {dim: spec}. Override in subclasses (reference API)."""
+        if self._spec is None:
+            return {d: d for d in dimensions}
+        return {d: self._spec.get(d, d) for d in dimensions}
+
+    def __subdomain_finalize__(self, grid):
+        self._grid = grid
+        spec = self.define(grid.dimensions)
+        dims = []
+        for d in grid.dimensions:
+            s = spec.get(d, d)
+            if s is d or s == d:
+                dims.append(d)
+            else:
+                side = s[0]
+                nm = f"{d.name}{self.name[:1]}{side[:1]}"
+                if side == 'left':
+                    dims.append(SubDimension.left(nm, d, s[1]))
+                elif side == 'right':
+                    dims.append(SubDimension.right(nm, d, s[1]))
+                elif side == 'middle':
+                    dims.append(SubDimension.middle(nm, d, s[1], s[2]))
+                else:
+                    raise ValueError(f"Unknown subdomain side {side!r}")
+        self._dimensions = tuple(dims)
+
+    @property
+    def grid(self):
+        return self._grid
+
+    @property
+    def dimensions(self):
+        return self._dimensions
+
+    @property
+    def dimension_map(self):
+        return {d.root: d for d in self._dimensions}
+
+    @property
+    def shape(self):
+        out = []
+        for d, s in zip(self._dimensions, self._grid.shape):
+            if d.is_Sub:
+                start, stop = d.bounds(s)
+                out.append(stop - start)
+            else:
+                out.append(s)
+        return tuple(out)
+
+    def bounds(self):
+        """(start, stop) per dimension, in domain coordinates."""
+        out = []
+        for d, s in zip(self._dimensions, self._grid.shape):
+            if d.is_Sub:
+                out.append(d.bounds(s))
+            else:
+                out.append((0, s))
+        return tuple(out)
+
+    def __repr__(self):
+        return f"SubDomain({self.name})"
+
+
+class Domain(SubDomain):
+    """The whole computational domain."""
+    name = 'domain'
+
+    def define(self, dimensions):
+        return {d: d for d in dimensions}
+
+
+class Interior(SubDomain):
+    """The interior of the domain: everything but the outermost point layer
+    (reference: grid.py Interior:1250)."""
+    name = 'interior'
+
+    def define(self, dimensions):
+        return {d: ('middle', 1, 1) for d in dimensions}
+
+
+class SubDomainSet(SubDomain):
+    """N irregular rectangular regions, given by per-region bounds
+    (reference: grid.py:783). Lowered to a mask / per-region slices.
+
+    ``bounds``: tuple of 2*ndim arrays (lt_x, rt_x, lt_y, rt_y, ...), each of
+    length N, giving thicknesses from each side per region.
+    """
+
+    def __init__(self, name=None, N=0, bounds=None, **kwargs):
+        self._N = N
+        self._bounds = bounds
+        super().__init__(name=name, **kwargs)
+
+    @property
+    def n_domains(self):
+        return self._N
+
+    def region_bounds(self, grid):
+        """Yield (start, stop) per dim for each region."""
+        nd = grid.dim
+        for i in range(self._N):
+            region = []
+            for j, s in enumerate(grid.shape):
+                lt = int(np.asarray(self._bounds[2*j])[i])
+                rt = int(np.asarray(self._bounds[2*j+1])[i])
+                region.append((lt, s - rt))
+            yield tuple(region)
+
+    def __subdomain_finalize__(self, grid):
+        self._grid = grid
+        self._dimensions = grid.dimensions

@@ -1,0 +1,42 @@
+"""Test configuration.
+
+Reference parity: the reference tests run on the host (conftest.py there
+re-execs MPI tests under mpiexec); here all tests run on a CPU-simulated
+platform — including an 8-device virtual mesh for multi-chip tests
+(`XLA_FLAGS=--xla_force_host_platform_device_count=8`), the TPU analog of
+the reference's mpiexec-subprocess trick (SURVEY.md §4).
+"""
+
+import os
+
+# Must be set before jax import. NB: the environment may pin
+# JAX_PLATFORMS=axon (remote TPU tunnel); tests always run on host CPU
+# with a virtual 8-device mesh unless explicitly overridden.
+if not os.environ.get('DEVITO_TPU_TEST_ON_TPU'):
+    os.environ['JAX_PLATFORMS'] = 'cpu'
+flags = os.environ.get('XLA_FLAGS', '')
+if 'host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (
+        flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import numpy as np  # noqa
+import pytest  # noqa
+
+
+@pytest.fixture
+def grid2d():
+    from devito_tpu import Grid
+    return Grid(shape=(16, 16), extent=(15., 15.))
+
+
+@pytest.fixture
+def grid3d():
+    from devito_tpu import Grid
+    return Grid(shape=(12, 12, 12), extent=(11., 11., 11.))
+
+
+@pytest.fixture(autouse=True)
+def clear_symbol_cache():
+    yield
+    import devito_tpu
+    devito_tpu.clear_cache()
