@@ -76,4 +76,15 @@ def gaussian_smooth(f, sigma=1, truncate=4.0, mode='reflect'):
     return result
 
 
-smooth = gaussian_smooth
+def smooth(f, g, axis=None):
+    """Simple moving average of ``g`` into ``f`` along one dimension
+    (reference: builtins/initializers.py smooth:91 — Eq(f, g.avg(dims=axis))
+    built as an Operator; here applied the same way)."""
+    from ..types import Eq
+    from ..operator import Operator
+    if getattr(g, 'is_Constant', False):
+        f.data[:] = .9 * g.data
+        return
+    if axis is None:
+        axis = g.dimensions[-1]
+    Operator(Eq(f, g.avg(dims=axis)), name='smoother')()

@@ -75,7 +75,7 @@ class LoweredSparse:
 
     def __init__(self, kind, sparse, expr, field=None, field_time_off=None,
                  field_time_kind=None, target_time_off=0, increment=False,
-                 implicit_dims=None):
+                 implicit_dims=None, time_dep=None):
         self.kind = kind
         self.sparse = sparse
         self.expr = expr
@@ -84,7 +84,10 @@ class LoweredSparse:
         self.field_time_kind = field_time_kind
         self.target_time_off = target_time_off
         self.increment = increment
-        self.time_dep = True
+        if time_dep is None:
+            time_dep = (field_time_kind is not None
+                        or sparse.is_SparseTimeFunction or _has_time(expr))
+        self.time_dep = time_dep
 
     def __repr__(self):
         return f"LoweredSparse({self.kind}, {self.sparse.name})"

@@ -2,3 +2,4 @@ from .model import *  # noqa
 from .source import *  # noqa
 from .geometry import *  # noqa
 from .acoustic import *  # noqa
+from .utils import *  # noqa

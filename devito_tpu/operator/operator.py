@@ -182,9 +182,14 @@ class Operator:
     # -- runtime arguments -------------------------------------------------
 
     def _default_time_bounds(self):
-        """Derive default time_m/time_M from save-array extents (reference:
-        dspace-derived defaults, operator.py:583)."""
-        tmins, tmaxs = [0], []
+        """Derive default time_m/time_M following the reference's
+        dspace-interval rule (devito operator.py:583 + Dimension._arg_values
+        out-of-bounds adjustment): the loop-wide max positive/negative time
+        offsets shrink the range given by the smallest time-sized array,
+        so e.g. a forward acoustic operator with nt-row sources/receivers
+        runs t in [1, nt-2]."""
+        max_up, max_down = 0, 0
+        sized, cond_bounds = [], []
         for it in self._schedule.body:
             accs = []
             if isinstance(it, LoweredEq):
@@ -194,24 +199,35 @@ class Operator:
             elif isinstance(it, LoweredSparse):
                 accs = list(retrieve_functions(it.expr))
                 if it.kind == 'interp' and it.sparse.is_SparseTimeFunction:
-                    tmaxs.append(it.sparse.shape[0] - 1 - it.target_time_off)
+                    sized.append(it.sparse.shape[0] - 1)
+                    max_up = max(max_up, it.target_time_off)
+                if it.kind == 'inject' and it.field_time_kind is not None:
+                    off = it.field_time_off or 0
+                    max_up = max(max_up, off)
+                    max_down = max(max_down, -off)
+                    if it.field_time_kind == 'save':
+                        sized.append(it.field.shape[0] - 1)
             for a in accs:
                 fn = a.function
                 tk, off = time_access_of(a)
-                if tk == 'save':
-                    size = fn.shape[0]
-                    if off >= 0:
-                        tmaxs.append(size - 1 - off)
-                    else:
-                        tmins.append(-off)
-                        tmaxs.append(size - 1)
-                elif tk == 'cond':
-                    size = fn._time_size or (fn.save or 1)
+                if tk is None:
+                    continue
+                if tk == 'cond':
+                    size = fn._time_size or getattr(fn, 'save', None) or 1
                     f = fn.dimensions[0].factor or 1
-                    if size is not None:
-                        tmaxs.append(f * (size - off) - 1)
-        tm = max(tmins)
-        tM = min(tmaxs) if tmaxs else None
+                    cond_bounds.append(f * (size - off) - 1)
+                    continue
+                max_up = max(max_up, off)
+                max_down = max(max_down, -off)
+                if tk == 'save':
+                    sized.append(fn.shape[0] - 1)
+        tm = max_down
+        tM = None
+        if sized:
+            tM = min(sized) - max_up
+        if cond_bounds:
+            c = min(cond_bounds)
+            tM = c if tM is None else min(tM, c)
         return tm, tM
 
     def arguments(self, **kwargs):
@@ -237,12 +253,14 @@ class Operator:
         wbufs, rbufs = {}, {}
         for name, fn in bound.items():
             arr = fn._device_array()
+            arr = self._maybe_shard(fn, arr)
             if name in self._writes:
                 wbufs[name] = arr
             else:
                 rbufs[name] = arr
             if fn.is_SparseFunction:
-                rbufs[f"{name}_coords"] = fn._coords_device()
+                rbufs[f"{name}_coords"] = self._maybe_shard(
+                    None, fn._coords_device())
 
         # scalar params
         params = {}
@@ -292,6 +310,25 @@ class Operator:
 
         return (wbufs, rbufs, params, int(time_m or 0), int(time_M or 0),
                 bound)
+
+    def _maybe_shard(self, fn, arr):
+        """Under a distributed Grid, lay buffers out over the device mesh
+        (GSPMD): grid arrays sharded over the mesh's space axes, sparse
+        point/coordinate buffers replicated. XLA's SPMD partitioner then
+        inserts the halo collective-permutes for the shifted-slice stencil
+        reads — the TPU-native replacement for the reference's generated
+        MPI halo exchange (devito/mpi/routines.py; SURVEY.md §2.7)."""
+        import jax
+        if self._grid is None or self._grid.distributor is None:
+            return arr
+        dist = self._grid.distributor
+        if fn is None or fn.is_SparseFunction:
+            from jax.sharding import NamedSharding, PartitionSpec
+            sharding = NamedSharding(dist.mesh, PartitionSpec())
+        else:
+            with_time = (arr.ndim == self._grid.dim + 1)
+            sharding = dist.sharding(with_time_axis=with_time)
+        return jax.device_put(arr, sharding)
 
     # -- execution ---------------------------------------------------------
 

@@ -58,21 +58,20 @@ class AbstractFunction(Differentiable, sympy.Function):
             obj = sympy.Function.__new__(cls, *args)
             return obj
 
-        # Fresh user-level construction
+        # Fresh user-level construction. NB: like the reference (see
+        # tests/test_caching.py:295 — "Devito doesn't cache
+        # AbstractFunctions anymore"), every construction returns a NEW
+        # function with freshly allocated (zero) data; shifted accesses of
+        # the same function share its dynamically created class and hence
+        # its data.
         name = kwargs.pop('name', None)
         if name is None:
             raise TypeError(f"{cls.__name__} requires a `name`")
-        key = (cls, name) + cls._cache_key(**kwargs)
-        if key in _symbol_cache:
-            return _symbol_cache[key]
-
         newcls = type(cls)(name, (cls,), {'_metadata_set': True,
                                           '__module__': cls.__module__})
         newcls.__init_metadata__(name=name, **kwargs)
         obj = sympy.Function.__new__(newcls, *newcls._dimensions)
         newcls._canonical = obj
-        newcls._cache_lookup = key
-        _symbol_cache[key] = obj
         obj.__init_finalize__()
         return obj
 

@@ -9,15 +9,20 @@ the reference's mpiexec-subprocess trick (SURVEY.md §4).
 
 import os
 
-# Must be set before jax import. NB: the environment may pin
-# JAX_PLATFORMS=axon (remote TPU tunnel); tests always run on host CPU
-# with a virtual 8-device mesh unless explicitly overridden.
+# NB: this image's sitecustomize registers the `axon` TPU-tunnel PJRT
+# plugin in every interpreter and pins JAX_PLATFORMS=axon. Tests always
+# run on host CPU with a virtual 8-device mesh (the TPU analog of the
+# reference's mpiexec-on-localhost trick) unless explicitly overridden.
+# XLA_FLAGS must be set before first backend use; jax.config.update
+# overrides the plugin's platform pin.
 if not os.environ.get('DEVITO_TPU_TEST_ON_TPU'):
     os.environ['JAX_PLATFORMS'] = 'cpu'
-flags = os.environ.get('XLA_FLAGS', '')
-if 'host_platform_device_count' not in flags:
-    os.environ['XLA_FLAGS'] = (
-        flags + ' --xla_force_host_platform_device_count=8').strip()
+    flags = os.environ.get('XLA_FLAGS', '')
+    if 'host_platform_device_count' not in flags:
+        os.environ['XLA_FLAGS'] = (
+            flags + ' --xla_force_host_platform_device_count=8').strip()
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
 
 import numpy as np  # noqa
 import pytest  # noqa

@@ -1,0 +1,74 @@
+"""Adjoint dot-product tests.
+
+Reference parity: tests/test_adjoint.py — <F x, y> == <x, F^T y> at
+atol 1e-11 (forward/adjoint pair, fp64) and the inject/interpolate pair at
+atol 1e-6. Sizes shrunk vs the reference (CPU-simulated runs), tolerances
+kept identical.
+"""
+
+import numpy as np
+import pytest
+
+# fp64 path (reference runs these tests in double precision)
+import jax
+jax.config.update("jax_enable_x64", True)
+
+from devito_tpu import Grid, Function, SparseFunction, Operator
+from devito_tpu.builtins import inner, norm
+from devito_tpu.models.seismic import acoustic_setup
+
+
+class TestAdjoint:
+
+    @pytest.mark.parametrize('shape, kernel, space_order', [
+        ((60,), 'OT2', 12),
+        ((60,), 'OT2', 8),
+        ((60, 70), 'OT2', 12),
+        ((60, 70), 'OT2', 8),
+        ((60, 70), 'OT2', 4),
+        ((30, 35, 30), 'OT2', 8),
+        ((30, 35, 30), 'OT2', 4),
+    ])
+    def test_adjoint_F(self, shape, kernel, space_order):
+        """<F x, y> == <x, F^T y> for the acoustic propagator."""
+        tn = 250.
+        solver = acoustic_setup(shape=shape, spacing=[15.] * len(shape),
+                                kernel=kernel, nbl=10, tn=tn,
+                                space_order=space_order,
+                                preset='layers-isotropic',
+                                dtype=np.float64)
+        srca = solver.geometry.new_src(name='srca', src_type=None)
+        rec = solver.forward(save=False)[0]
+        solver.adjoint(rec=rec, srca=srca)
+        term1 = inner(srca, solver.geometry.src)
+        term2 = norm(rec) ** 2
+        assert np.isclose((term1 - term2) / term1, 0., atol=1.e-11), \
+            (term1, term2, (term1 - term2) / term1)
+
+    @pytest.mark.parametrize('shape, coords', [
+        ((11, 11), [(.05, .9), (.01, .8)]),
+        ((11, 11, 11), [(.05, .9), (.01, .8), (0.07, 0.84)]),
+    ])
+    def test_adjoint_inject_interpolate(self, shape, coords, npoints=19):
+        """p.inject is the adjoint of p.interpolate."""
+        grid = Grid(shape, dtype=np.float64)
+        a = Function(name='a', grid=grid, space_order=1)
+        c = Function(name='c', grid=grid, space_order=1)
+        c.data[:] = 27.
+
+        pcoords = np.zeros((npoints, len(shape)))
+        for i, r in enumerate(coords):
+            pcoords[:, i] = np.linspace(r[0], r[1], npoints)
+        p = SparseFunction(name='p', grid=grid, npoint=npoints,
+                           coordinates=pcoords)
+        p.data[:] = 1.2
+        p2 = SparseFunction(name='p2', grid=grid, npoint=npoints,
+                            coordinates=pcoords.copy())
+
+        expr = p.inject(field=a, expr=p)
+        expr2 = p2.interpolate(expr=c)
+        Operator([expr, expr2])()
+        term1 = inner(p2, p)
+        term2 = inner(c, a)
+        assert np.isclose((term1 - term2) / term1, 0., atol=1.e-6), \
+            (term1, term2)
