@@ -62,11 +62,19 @@ def main():
                   name='BenchForward')
 
     dt = 0.6 * 10.0 / 1.5 / (3 ** 0.5) / 4  # safely below CFL
+
+    def sync():
+        # force a real device->host fetch: through the remote tunnel,
+        # block_until_ready alone does not guarantee execution completed
+        return float(np.asarray(u._device_array()[0, n // 2, n // 2, n // 2]))
+
     # warmup (jit compile + 2 steps)
     op.apply(time_m=0, time_M=1, dt=dt)
+    sync()
     # timed run
     t0 = time.perf_counter()
     op.apply(time_m=0, time_M=steps - 1, dt=dt)
+    sync()
     elapsed = time.perf_counter() - t0
 
     gpts = np.prod(shape) * steps / elapsed / 1e9

@@ -97,12 +97,19 @@ class Derivative(Differentiable, sympy.Expr):
 
     def _hashable_content(self):
         # NB: must be plain-orderable (sympy's Add/Mul arg sorting compares
-        # these entries with </>), hence string forms, cached.
+        # these entries with </>), hence string forms, cached. The function
+        # *class ids* are included because same-named functions from
+        # different constructions are distinct (reference caching
+        # semantics) — string forms alone would make sympy's global
+        # operation cache resurrect stale subtrees.
         try:
             return self._hc
         except AttributeError:
+            from ..types.basic import retrieve_functions
+            fids = tuple(sorted(id(type(f))
+                                for f in retrieve_functions(self.expr)))
             self._hc = (
-                sympy.srepr(self.expr), str(self._dims),
+                sympy.srepr(self.expr), str(fids), str(self._dims),
                 str(as_tuple(self._fd_order)), str(self._side),
                 str(sorted((k.name, str(v)) for k, v in self._x0.items())),
                 self._transpose, str(self._weights), self._method)
@@ -199,7 +206,10 @@ class Derivative(Differentiable, sympy.Expr):
             elif x0 is not None and dim in x0:
                 target = Rational(x0[dim])
             else:
-                target = stag
+                # Default evaluation at the node (reference behavior:
+                # derivatives of staggered fields land on the dual lattice
+                # unless an Eq lhs projects them elsewhere via _eval_at)
+                target = Rational(0)
             pairs = stencil_points(fo, order, x0=target, stagger=stag,
                                    side=self._side,
                                    transpose=self._transpose)

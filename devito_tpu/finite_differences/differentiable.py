@@ -12,7 +12,8 @@ import sympy
 
 from ..utils import filter_ordered
 
-__all__ = ['Differentiable', 'Add', 'Mul', 'Pow', 'diffify', 'evaluate_expr']
+__all__ = ['Differentiable', 'Add', 'Mul', 'Pow', 'diffify', 'evaluate_expr',
+           'interp_for_fd']
 
 
 class Differentiable:
@@ -76,25 +77,38 @@ class Differentiable:
 
     # -- Arithmetic -------------------------------------------------------
 
+    @staticmethod
+    def _is_tensor(other):
+        from ..types.tensor import TensorLike
+        return isinstance(other, TensorLike)
+
     def __add__(self, other):
+        if self._is_tensor(other):
+            return NotImplemented
         return Add(self, sympy.sympify(other))
 
     def __radd__(self, other):
         return Add(sympy.sympify(other), self)
 
     def __sub__(self, other):
+        if self._is_tensor(other):
+            return NotImplemented
         return Add(self, Mul(sympy.Integer(-1), sympy.sympify(other)))
 
     def __rsub__(self, other):
         return Add(sympy.sympify(other), Mul(sympy.Integer(-1), self))
 
     def __mul__(self, other):
+        if self._is_tensor(other):
+            return NotImplemented
         return Mul(self, sympy.sympify(other))
 
     def __rmul__(self, other):
         return Mul(sympy.sympify(other), self)
 
     def __truediv__(self, other):
+        if self._is_tensor(other):
+            return NotImplemented
         return Mul(self, Pow(sympy.sympify(other), sympy.Integer(-1)))
 
     def __rtruediv__(self, other):
@@ -242,6 +256,106 @@ def _parse_derivative_shortcut(expr, name):
     dim_spec = tuple((d, o) for d, o, _ in derivs)
     side = derivs[0][2] if len(derivs) == 1 else None
     return Derivative(expr, *dim_spec, fd_order=fd, side=side)
+
+
+def interp_for_fd(expr, x0):
+    """Project mismatched-stagger accesses onto the evaluation lattice
+    ``x0`` (reference: differentiable.py interp_for_fd:1263 + the off-grid
+    evaluation in types/basic.py:1071).
+
+    Bare function accesses (and jointly, products of them) whose stagger
+    differs from ``x0`` along some dimension are replaced by a 2-point
+    (interp_order=2) average along each mismatched dimension; functions with
+    ``avg_mode='harmonic'/'safe_harmonic'`` (e.g. the elastic mu) average
+    1/f and invert (IEEE inf-propagation makes a zero neighbor yield 0, the
+    behavior of the reference's SAFEINV macro).
+    """
+    import sympy as sp
+    from .derivative import Derivative
+    from .tools import stencil_points
+    from ..types.basic import AbstractFunction
+
+    if x0 is None:
+        return expr
+
+    def _mismatch(fn_access):
+        out = []
+        f = fn_access.function
+        for d, target in x0.items():
+            if not d.is_Space:
+                continue
+            stag = f.stagger_offset(d)
+            if (stag - sympy.Rational(target)) % 1 != 0:
+                out.append((d, sympy.Rational(target), stag))
+        return out
+
+    def _avg(e, spec):
+        terms = [(sp.S.One, e)]
+        for d, target, stag in spec:
+            pairs = stencil_points(2, 0, x0=target, stagger=stag)
+            terms = [(w * w2, (t.subs(d, d + k) if k != 0 else t))
+                     for (w2, t) in terms for (k, w) in pairs]
+        return Add(*[Mul(w, t) for w, t in terms])
+
+    def _interp_access(a):
+        spec = _mismatch(a)
+        if not spec:
+            return a
+        f = a.function
+        if getattr(type(f), '_avg_mode', 'arithmetic') in ('harmonic',
+                                                           'safe_harmonic'):
+            return Pow(_avg(Pow(a, sp.Integer(-1)), spec), sp.Integer(-1))
+        return _avg(a, spec)
+
+    def _walk(e):
+        if isinstance(e, AbstractFunction):
+            return _interp_access(e)
+        if isinstance(e, Derivative):
+            sub_x0 = {d: v for d, v in x0.items() if d not in e.dims}
+            inner = _walk_with(e.expr, sub_x0)
+            if inner is e.expr:
+                return e
+            return Derivative(inner, *e._dims, fd_order=e._fd_order,
+                              side=e._side, x0=e._x0,
+                              transpose=e._transpose, weights=e._weights,
+                              method=e._method)
+        if isinstance(e, sp.Mul):
+            # group mismatched arithmetic bare accesses, interpolate the
+            # product jointly (reference Mul rule, differentiable.py:1273)
+            group, others = [], []
+            gspec = {}
+            for a in e.args:
+                if isinstance(a, AbstractFunction):
+                    spec = _mismatch(a)
+                    mode = getattr(type(a.function), '_avg_mode',
+                                   'arithmetic')
+                    if spec and mode == 'arithmetic':
+                        group.append(a)
+                        for s in spec:
+                            gspec[s[0]] = s
+                        continue
+                others.append(_walk(a))
+            if group:
+                joint = _avg(Mul(*group) if len(group) > 1 else group[0],
+                             list(gspec.values()))
+                return Mul(joint, *others)
+            return Mul(*others)
+        if not isinstance(e, sp.Basic) or not e.args:
+            return e
+        new_args = [_walk(a) for a in e.args]
+        if all(n is o for n, o in zip(new_args, e.args)):
+            return e
+        try:
+            return e.func(*new_args)
+        except TypeError:
+            return e.func(*new_args, evaluate=False)
+
+    def _walk_with(e, sub_x0):
+        if not sub_x0:
+            return e
+        return interp_for_fd(e, sub_x0)
+
+    return _walk(sympy.sympify(expr))
 
 
 class Add(Differentiable, sympy.Add):

@@ -260,25 +260,15 @@ def lower_expressions(expressions, subs=None):
 
 
 def _flatten_exprs(expressions):
-    from ..types.tensor import TensorLike
+    from ..types.equation import TensorEq
     out = []
     for e in as_tuple(expressions):
         if isinstance(e, (list, tuple)):
             out.extend(_flatten_exprs(e))
-        elif isinstance(e, Eq) and isinstance(e.lhs, TensorLike):
+        elif isinstance(e, TensorEq):
             # flatten tensor/vector equations to per-component equations
             # (reference: operator.py _lower_exprs flattening)
-            lhs_c = e.lhs._comps
-            rhs = e.rhs
-            seen = set()
-            for i, row in enumerate(lhs_c):
-                for j, lc in enumerate(row):
-                    if lc == 0 or id(lc) in seen:
-                        continue
-                    seen.add(id(lc))
-                    rc = rhs._comps[i][j] if isinstance(rhs, TensorLike) \
-                        else rhs
-                    out.append(e.func(lc, rc))
+            out.extend(e.flatten())
         else:
             out.append(e)
     return out

@@ -154,8 +154,11 @@ class SeismicModel:
             self.lam = self._gen_phys_param(
                 (np.asarray(vp) ** 2 - 2. * np.asarray(vs) ** 2) / b,
                 'lam', space_order)
+            # mu is harmonically averaged at staggered locations
+            # (reference: model.py _initialize_physics avg_mode='safe_harmonic')
             self.mu = self._gen_phys_param(np.asarray(vs) ** 2 / b, 'mu',
-                                           space_order)
+                                           space_order,
+                                           avg_mode='safe_harmonic')
             self._physical_parameters += ['lam', 'mu']
         elif vp is not None:
             self.vp = self._gen_phys_param(vp, 'vp', space_order)
@@ -172,7 +175,7 @@ class SeismicModel:
         if np.isscalar(field):
             return Constant(name=name, value=field, dtype=self.grid.dtype)
         fn = Function(name=name, grid=self.grid, space_order=space_order,
-                      parameter=True)
+                      parameter=True, **kwargs)
         pad = [(self.nbl, self.nbl)] * self.dim
         if self.fs:
             pad[-1] = (0, self.nbl)

@@ -51,6 +51,21 @@ class Injection:
         self.implicit_dims = implicit_dims
 
     def _lower(self, subs=None):
+        from ..types.tensor import TensorLike
+        if isinstance(self.field, TensorLike):
+            # inject into every distinct nonzero component (reference:
+            # src.inject(tau.forward.diagonal(), ...) in elastic)
+            out = []
+            seen = set()
+            for c in self.field.values():
+                if c == 0 or id(c) in seen:
+                    continue
+                seen.add(id(c))
+                out.extend(Injection(self.sparse, c, self.expr,
+                                     u_t=self.u_t,
+                                     implicit_dims=self.implicit_dims)
+                           ._lower(subs=subs))
+            return out
         expr = evaluate_expr(self.expr)
         if subs:
             expr = expr.subs(subs)

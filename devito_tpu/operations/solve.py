@@ -7,28 +7,55 @@ for expressions linear in the target, sympy.solve fallback).
 import sympy
 
 from ..finite_differences.differentiable import evaluate_expr, diffify
+from ..finite_differences.derivative import Derivative
 from ..exceptions import InvalidOperator
 
-__all__ = ['solve']
+__all__ = ['solve', 'linsolve', 'eval_time_derivatives']
+
+
+def eval_time_derivatives(expr):
+    """Expand only the *time* derivatives (reference: solve.py:82) —
+    space Derivative nodes stay lazy so equation lowering can later project
+    them at the lhs stagger location (Derivative._eval_at)."""
+    if isinstance(expr, Derivative):
+        if any(d.is_Time for d in expr.dims):
+            return expr._evaluate()
+        return expr
+    if not isinstance(expr, sympy.Basic) or not expr.args:
+        return expr
+    new_args = [eval_time_derivatives(a) for a in expr.args]
+    if all(n is o for n, o in zip(new_args, expr.args)):
+        return expr
+    return expr.func(*new_args)
 
 
 def solve(eq, target, **kwargs):
     """Solve ``eq`` (an Eq or an expression implicitly == 0) for ``target``
     (typically ``u.forward``). Fast path: linear extraction a*target + b
-    -> -b/a; falls back to sympy.solve."""
+    -> -b/a (reference linsolve, solve.py:63); falls back to sympy.solve.
+    Vector/tensor equations are solved per component."""
+    from ..types.tensor import TensorLike
+    if isinstance(eq, TensorLike) or isinstance(target, TensorLike):
+        out = target._new_from(
+            [[solve(e, t) if t != 0 else sympy.S.Zero
+              for e, t in zip(erow, trow)]
+             for erow, trow in zip(eq._comps, target._comps)])
+        return out
     if isinstance(eq, sympy.Eq):
         expr = eq.lhs - eq.rhs
     else:
         expr = eq
-    expr = evaluate_expr(expr)
-    target = evaluate_expr(target)
+    expr = eval_time_derivatives(expr)
+    return linsolve(expr, target)
 
+
+def linsolve(expr, target, **kwargs):
     b = expr.subs(target, 0)
     a = sympy.expand(expr - b).coeff(target)
     if a == 0:
         a = sympy.simplify(expr.subs(target, 1) - b)
     if a == 0:
-        sols = sympy.solve(expr, target)
+        sols = sympy.solve(evaluate_expr(expr), target)
         if not sols:
             raise InvalidOperator(f"Cannot solve for {target}")
         return diffify(sols[0])

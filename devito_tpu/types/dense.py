@@ -55,6 +55,9 @@ class DiscreteFunction(AbstractFunction):
         cls._initializer = initializer
         cls._is_parameter = parameter
         cls._coefficients = coefficients
+        # off-grid averaging mode (reference: basic.py:857 avg_mode)
+        cls._avg_mode = avg_mode or 'arithmetic'
+        cls._interp_order = 2
         # halo per space dim, each side (generous: space_order, as in the
         # reference's default halo sizing)
         cls._halo = tuple((space_order, space_order) for _ in space_dims)

@@ -10,7 +10,7 @@ import sympy
 from ..finite_differences.differentiable import evaluate_expr
 from ..finite_differences.derivative import Derivative
 
-__all__ = ['Eq', 'Inc', 'ReduceMax', 'ReduceMin', 'solve_eq_placeholder']
+__all__ = ['Eq', 'Inc', 'ReduceMax', 'ReduceMin', 'TensorEq']
 
 
 class Eq(sympy.Eq):
@@ -21,6 +21,14 @@ class Eq(sympy.Eq):
 
     def __new__(cls, lhs, rhs=0, subdomain=None, coefficients=None,
                 implicit_dims=None, **kwargs):
+        from .tensor import TensorLike
+        if isinstance(lhs, TensorLike) or isinstance(rhs, TensorLike):
+            # Vector/tensor equation: a lightweight container flattened to
+            # per-component equations during lowering (reference:
+            # operator.py _lower_exprs flattening)
+            return TensorEq(cls, lhs, rhs, subdomain=subdomain,
+                            coefficients=coefficients,
+                            implicit_dims=implicit_dims)
         kwargs.setdefault('evaluate', False)
         obj = sympy.Eq.__new__(cls, lhs, rhs, **kwargs)
         obj._subdomain = subdomain
@@ -44,9 +52,13 @@ class Eq(sympy.Eq):
         lhs, rhs = self.lhs, self.rhs
         x0 = None
         from .basic import AbstractFunction
+        from ..finite_differences.differentiable import interp_for_fd
         if isinstance(lhs, AbstractFunction):
             x0 = {d: lhs.function.stagger_offset(d)
                   for d in lhs.function.dimensions if d.is_Space}
+            # project mismatched-stagger material parameters to the lhs
+            # lattice (reference: interp_for_fd)
+            rhs = interp_for_fd(rhs, x0)
         new_lhs = evaluate_expr(lhs)
         new_rhs = evaluate_expr(rhs, x0=x0)
         return self.func(new_lhs, new_rhs)
@@ -91,5 +103,38 @@ class ReduceMin(Eq):
     _reduction = 'min'
 
 
-def solve_eq_placeholder():
-    pass
+class TensorEq:
+    """A vector/tensor-valued equation; flattened at lowering."""
+
+    def __init__(self, eqcls, lhs, rhs, subdomain=None, coefficients=None,
+                 implicit_dims=None):
+        self.eqcls = eqcls
+        self.lhs = lhs
+        self.rhs = rhs
+        self._subdomain = subdomain
+        self._coefficients = coefficients
+        self._implicit_dims = implicit_dims
+
+    @property
+    def subdomain(self):
+        return self._subdomain
+
+    def flatten(self):
+        from .tensor import TensorLike
+        out = []
+        seen = set()
+        lhs_c = self.lhs._comps
+        for i, row in enumerate(lhs_c):
+            for j, lc in enumerate(row):
+                if lc == 0 or id(lc) in seen:
+                    continue
+                seen.add(id(lc))
+                rc = self.rhs._comps[i][j] \
+                    if isinstance(self.rhs, TensorLike) else self.rhs
+                out.append(self.eqcls(lc, rc, subdomain=self._subdomain,
+                                      coefficients=self._coefficients,
+                                      implicit_dims=self._implicit_dims))
+        return out
+
+    def __repr__(self):
+        return f"TensorEq({self.lhs!r}, {self.rhs!r})"

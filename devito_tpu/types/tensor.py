@@ -81,6 +81,21 @@ class TensorLike:
                 else self._comps[key][0]
         return self._comps[key]
 
+    def transpose(self, inner=True):
+        """Matrix transpose; ``inner=True`` also transposes each component
+        (Derivative.T), matching the reference's ``.transpose(inner=...)``."""
+        n = len(self._comps)
+        m = len(self._comps[0])
+        comps = [[self._comps[j][i] for j in range(n)] for i in range(m)]
+        if inner:
+            comps = [[c.T if hasattr(c, 'T') else c for c in row]
+                     for row in comps]
+        return self._new_from(comps)
+
+    @property
+    def T(self):
+        return self.transpose()
+
     @property
     def forward(self):
         return self._map(lambda c: c.forward)
