@@ -24,6 +24,9 @@ from .types.sparse import (SparseFunction, SparseTimeFunction,  # noqa
                            PrecomputedSparseTimeFunction)
 from .finite_differences import (Derivative, Differentiable)  # noqa
 from .finite_differences.operators import (div, grad, curl, laplace, diag)  # noqa
+from .finite_differences.elementary import (sin, cos, tan, sqrt, exp, log,  # noqa
+                                            Abs, Min, Max, floor, ceiling,
+                                            sign)
 from .operations.solve import solve  # noqa
 from .operator import Operator  # noqa
 

@@ -5,6 +5,12 @@ toolchain (devito/arch/compiler.py jit_compile:376, operator.py apply:956):
 the whole hot loop — time marching, stencil updates, source injection,
 receiver interpolation — is one `lax.fori_loop` inside one `jax.jit`, with
 buffer donation so XLA updates state in-place in HBM.
+
+Rolling time buffers (SteppingDimension semantics) are carried as a tuple
+of per-slot arrays and rotated *statically* each iteration (register
+renaming), so the hot path contains no dynamic time indexing at all — the
+functional analog of the reference's modulo-indexed buffers
+(ir/clusters/algorithms.py Stepper), but XLA-alias-friendly.
 """
 
 from collections import OrderedDict
@@ -34,66 +40,108 @@ def _region_map(eq):
         for d, (start, stop) in zip(fn.space_dimensions, eq.region))
 
 
-def _exec_dense(eq, bufs, params, t):
+class StepContextMixin:
+    """Resolution of stepping-buffer slots shared by the exec functions."""
+
+    @staticmethod
+    def slot_pos(k, nslots, direction):
+        if direction >= 0:
+            return (nslots - 2 + k) % nslots
+        return (nslots - 2 - k) % nslots
+
+
+def _resolve_time_indexed(bufs, fn, tk, toff, t, direction):
+    """Return the (3-d or lower) array for a time-resolved access."""
+    import jax
+    buf = bufs[fn.name]
+    if tk is None:
+        return buf
+    if tk == 'stepping':
+        slots = buf  # tuple of per-slot arrays
+        return slots[StepContextMixin.slot_pos(toff, len(slots), direction)]
+    if tk == 'save':
+        return jax.lax.dynamic_index_in_dim(buf, t + toff, 0, keepdims=False)
+    if tk == 'cond':
+        factor = fn.dimensions[0].factor or 1
+        return jax.lax.dynamic_index_in_dim(buf, t // factor + toff, 0,
+                                            keepdims=False)
+    raise CompilationError(f"Bad time access kind {tk}")
+
+
+def _exec_dense(eq, bufs, params, t, direction):
     import jax
     import jax.numpy as jnp
     from .translate import translate, DenseCtx
+    from ..ir.lowering import time_access_of
 
     fn = eq.target
     name = fn.name
-    buf = bufs[name]
-    ctx = DenseCtx(bufs, params, _region_map(eq), t=t)
+    ctx = DenseCtx(bufs, params, _region_map(eq), t=t, direction=direction)
     val = translate(eq.rhs, ctx)
 
     slices = _write_region_slices(eq)
     region_shape = tuple(s.stop - s.start for s in slices)
 
-    # Resolve the (possibly dynamic) time index of the write
-    if eq.time_kind == 'stepping':
-        nslots = buf.shape[0]
-        tidx = jnp.mod(t + eq.time_off, nslots)
-    elif eq.time_kind == 'save':
+    tk = eq.time_kind
+    out = dict(bufs)
+
+    if tk == 'stepping':
+        slots = list(bufs[name])
+        pos = StepContextMixin.slot_pos(eq.time_off, len(slots), direction)
+        target_arr = slots[pos]
+
+        def _current():
+            return target_arr[slices]
+
+        val = _finalize_val(eq, val, _current, ctx, region_shape,
+                            target_arr.dtype, jnp)
+        slots[pos] = target_arr.at[slices].set(val)
+        out[name] = tuple(slots)
+        return out
+
+    buf = bufs[name]
+    if tk == 'save':
         tidx = t + eq.time_off
-    elif eq.time_kind == 'cond':
+    elif tk == 'cond':
         factor = eq.cond_factor or 1
         tidx = t // factor + eq.time_off
     else:
         tidx = None
 
-    # Current value of the write region (for increments/conditions)
     def _current():
         if tidx is None:
             return buf[slices]
         cur = jax.lax.dynamic_index_in_dim(buf, tidx, 0, keepdims=False)
         return cur[slices]
 
-    if eq.reduction == 'max':
-        val = jnp.maximum(_current(), val)
-    elif eq.reduction == 'min':
-        val = jnp.minimum(_current(), val)
-    elif eq.increment:
-        val = _current() + val
-
-    if eq.condition is not None:
-        cond = translate(eq.condition, ctx)
-        val = jnp.where(cond, val, _current())
-
-    val = jnp.broadcast_to(val, region_shape).astype(buf.dtype)
+    val = _finalize_val(eq, val, _current, ctx, region_shape, buf.dtype, jnp)
 
     def _write(b):
         if tidx is None:
             return b.at[slices].set(val)
         return b.at[(tidx,) + slices].set(val)
 
-    if eq.time_kind == 'cond' and (eq.cond_factor or 1) > 1:
+    if tk == 'cond' and (eq.cond_factor or 1) > 1:
         factor = eq.cond_factor
         buf = jax.lax.cond(jnp.mod(t, factor) == 0, _write, lambda b: b, buf)
     else:
         buf = _write(buf)
-
-    out = dict(bufs)
     out[name] = buf
     return out
+
+
+def _finalize_val(eq, val, current, ctx, region_shape, dtype, jnp):
+    from .translate import translate
+    if eq.reduction == 'max':
+        val = jnp.maximum(current(), val)
+    elif eq.reduction == 'min':
+        val = jnp.minimum(current(), val)
+    elif eq.increment:
+        val = current() + val
+    if eq.condition is not None:
+        cond = translate(eq.condition, ctx)
+        val = jnp.where(cond, val, current())
+    return jnp.broadcast_to(val, region_shape).astype(dtype)
 
 
 def _sparse_geometry(sf, bufs, params):
@@ -109,7 +157,6 @@ def _sparse_geometry(sf, bufs, params):
     coords = bufs[f"{fn.name}_coords"]
     interp = fn.interpolator
     dims = grid.dimensions
-    nd = len(dims)
 
     per_dim = []
     valid = None
@@ -123,7 +170,6 @@ def _sparse_geometry(sf, bufs, params):
         valid = v if valid is None else (valid & v)
         per_dim.append((d, offsets, wlist, base, n))
 
-    # corner product
     corner_idx = {d.name: [] for d, *_ in per_dim}
     weights = []
     ranges = [range(len(off)) for _, off, _, _, _ in per_dim]
@@ -140,8 +186,7 @@ def _sparse_geometry(sf, bufs, params):
     return idxs, W
 
 
-def _exec_sparse(item, bufs, params, t, geom_cache):
-    import jax
+def _exec_sparse(item, bufs, params, t, geom_cache, direction):
     import jax.numpy as jnp
     from .translate import translate, SparseCtx
 
@@ -151,7 +196,8 @@ def _exec_sparse(item, bufs, params, t, geom_cache):
         geom_cache[key] = _sparse_geometry(sf, bufs, params)
     corner_idx, W = geom_cache[key]
 
-    ctx = SparseCtx(bufs, params, corner_idx, W, sf, t=t)
+    ctx = SparseCtx(bufs, params, corner_idx, W, sf, t=t,
+                    direction=direction)
     val = translate(item.expr, ctx)  # (C, P) or (P,) or scalar
 
     out = dict(bufs)
@@ -174,45 +220,98 @@ def _exec_sparse(item, bufs, params, t, geom_cache):
         out[sf.name] = buf
     else:  # inject
         field = item.field
-        buf = bufs[field.name]
-        contrib = (W * val).astype(buf.dtype)  # (C, P)
-        if item.field_time_kind == 'stepping':
-            nslots = buf.shape[0]
-            tidx = jnp.mod(t + item.field_time_off, nslots)
-        elif item.field_time_kind == 'save':
-            tidx = t + item.field_time_off
-        else:
-            tidx = None
         sidx = tuple(corner_idx[d.name] + hl
                      for d, (hl, hr) in zip(field.space_dimensions,
                                             field.halo))
-        if tidx is None:
-            buf = buf.at[sidx].add(contrib)
-        else:
+        if item.field_time_kind == 'stepping':
+            slots = list(bufs[field.name])
+            pos = StepContextMixin.slot_pos(item.field_time_off or 0,
+                                           len(slots), direction)
+            contrib = (W * val).astype(slots[pos].dtype)
+            slots[pos] = slots[pos].at[sidx].add(contrib)
+            out[field.name] = tuple(slots)
+            return out
+        buf = bufs[field.name]
+        contrib = (W * val).astype(buf.dtype)
+        if item.field_time_kind == 'save':
+            tidx = t + item.field_time_off
             buf = buf.at[(tidx,) + sidx].add(contrib)
+        else:
+            buf = buf.at[sidx].add(contrib)
         out[field.name] = buf
     return out
 
 
-def build_runner(schedule, write_names):
+def build_runner(schedule, write_names, stepping_info=None):
     """Build ``run(wbufs, rbufs, params, time_m, time_M) -> wbufs``.
+
+    ``stepping_info``: {fn name: nslots} for rolling-buffer TimeFunctions;
+    their (nslots, ...) canonical arrays are decomposed into per-slot
+    tuples around the loop and rotated statically inside it.
 
     Only the written buffers are carried through the time loop (and donated
     by the Operator's jit); read-only buffers are loop-invariant closures.
     """
     import jax
 
+    stepping_info = stepping_info or {}
+    direction = schedule.direction
+    forward = direction >= 0
+
     def _exec_items(items, bufs, params, t, geom_cache):
         for it in items:
             if isinstance(it, LoweredEq):
-                bufs = _exec_dense(it, bufs, params, t)
+                bufs = _exec_dense(it, bufs, params, t, direction)
             elif isinstance(it, LoweredSparse):
-                bufs = _exec_sparse(it, bufs, params, t, geom_cache)
+                bufs = _exec_sparse(it, bufs, params, t, geom_cache,
+                                    direction)
             else:
                 raise CompilationError(f"Cannot execute {it}")
         return bufs
 
-    forward = schedule.direction >= 0
+    def _decompose(bufs, t0):
+        """Split stepping buffers into logical-time-ordered slot tuples.
+        Slot i of the tuple corresponds to canonical row computed from t0
+        so that `.data`'s modulo-row convention is preserved."""
+        out = dict(bufs)
+        for name, m in stepping_info.items():
+            if name not in out:
+                continue
+            buf = out[name]
+            slots = []
+            for i in range(m):
+                if forward:
+                    # tuple position i <-> time t0 + 1 + (i - (m - 1))
+                    tau = t0 + 1 + i - (m - 1)
+                else:
+                    # backward: position i <-> time t0 - 1 + (m - 1) - i
+                    tau = t0 - 1 + (m - 1) - i
+                row = jax.numpy.mod(tau, m)
+                slots.append(jax.lax.dynamic_index_in_dim(
+                    buf, row, 0, keepdims=False))
+            out[name] = tuple(slots)
+        return out
+
+    def _recompose(bufs, t_end):
+        """Write slot tuples back into canonical (m, ...) arrays."""
+        out = dict(bufs)
+        for name, m in stepping_info.items():
+            if name not in out or not isinstance(out[name], tuple):
+                continue
+            slots = out[name]
+            base = None
+            for i, s in enumerate(slots):
+                if forward:
+                    tau = t_end + 1 + i - (m - 1)
+                else:
+                    tau = t_end - 1 + (m - 1) - i
+                row = jax.numpy.mod(tau, m)
+                if base is None:
+                    base = jax.numpy.zeros((m,) + s.shape, s.dtype)
+                base = jax.lax.dynamic_update_index_in_dim(
+                    base, s, row, 0)
+            out[name] = base
+        return out
 
     def run(wbufs, rbufs, params, time_m, time_M):
         bufs = {**rbufs, **wbufs}
@@ -220,8 +319,6 @@ def build_runner(schedule, write_names):
         bufs = _exec_items(schedule.prologue, bufs, params, None, geom_cache)
 
         if schedule.body:
-            # Hoist sparse geometry (coordinates -> corners/weights) out of
-            # the loop; it is loop-invariant.
             for it in schedule.body:
                 if isinstance(it, LoweredSparse):
                     sf = it.sparse
@@ -229,17 +326,34 @@ def build_runner(schedule, write_names):
                         geom_cache[sf.name] = _sparse_geometry(sf, bufs,
                                                                params)
 
+            t0 = time_m if forward else time_M
+            bufs = _decompose(bufs, t0)
+
             def body(i, carry):
                 t = time_m + i if forward else time_M - i
                 merged = {**bufs, **carry}
                 merged = _exec_items(schedule.body, merged, params, t,
                                      geom_cache)
-                return {k: merged[k] for k in write_names}
+                result = {k: merged[k] for k in write_names}
+                # rotate stepping windows: oldest slot becomes next new
+                for name, m in stepping_info.items():
+                    if name in result and isinstance(result[name], tuple):
+                        s = result[name]
+                        result[name] = s[1:] + (s[0],)
+                return result
 
             n = time_M - time_m + 1
             carry0 = {k: bufs[k] for k in write_names}
             carry = jax.lax.fori_loop(0, n, body, carry0)
             bufs = {**bufs, **carry}
+            # after the loop the window sits at t_end + direction; undo the
+            # final rotation so recomposition indexes correctly
+            t_end = time_M if forward else time_m
+            for name, m in stepping_info.items():
+                if name in bufs and isinstance(bufs[name], tuple):
+                    s = bufs[name]
+                    bufs[name] = (s[-1],) + s[:-1]
+            bufs = _recompose(bufs, t_end)
 
         bufs = _exec_items(schedule.epilogue, bufs, params, None, geom_cache)
         return {k: bufs[k] for k in write_names}

@@ -148,10 +148,11 @@ def translate(expr, ctx):
 
 
 class BaseCtx:
-    def __init__(self, buffers, params, t=None):
+    def __init__(self, buffers, params, t=None, direction=1):
         self.buffers = buffers
         self.params = params
         self.t = t
+        self.direction = direction
 
     def symbol(self, sym):
         name = sym.name
@@ -159,23 +160,14 @@ class BaseCtx:
             return self.params[name]
         raise CompilationError(f"Unbound symbol {name}")
 
-    def _time_index(self, fn, access):
-        """Resolve the leading (time) index of an access into a concrete
-        buffer index; returns None for timeless functions."""
-        import jax.numpy as jnp
+    def _time_resolved(self, fn, access):
+        """Resolve an access's time index into the concrete (time-free)
+        array: stepping buffers are statically renamed slot tuples
+        (see compiler/executor.py), save/cond arrays dynamically indexed."""
+        from .executor import _resolve_time_indexed
         tk, toff = time_access_of(access)
-        if tk is None:
-            return None
-        buf = self.buffers[fn.name]
-        if tk == 'stepping':
-            nslots = buf.shape[0]
-            return jnp.mod(self.t + toff, nslots)
-        if tk == 'save':
-            return self.t + toff
-        if tk == 'cond':
-            factor = fn.dimensions[0].factor or 1
-            return self.t // factor + toff
-        raise CompilationError(f"Bad time access {access}")
+        return _resolve_time_indexed(self.buffers, fn, tk, toff, self.t,
+                                     self.direction)
 
 
 class DenseCtx(BaseCtx):
@@ -185,8 +177,8 @@ class DenseCtx(BaseCtx):
     domain coordinates.
     """
 
-    def __init__(self, buffers, params, region, t=None):
-        super().__init__(buffers, params, t=t)
+    def __init__(self, buffers, params, region, t=None, direction=1):
+        super().__init__(buffers, params, t=t, direction=direction)
         self.region = region
 
     def symbol(self, sym):
@@ -209,14 +201,8 @@ class DenseCtx(BaseCtx):
         return super().symbol(sym)
 
     def access(self, e):
-        import jax
         fn = e.function
-        buf = self.buffers[fn.name]
-        tidx = self._time_index(fn, e)
-        if tidx is not None:
-            arr = jax.lax.dynamic_index_in_dim(buf, tidx, 0, keepdims=False)
-        else:
-            arr = buf
+        arr = self._time_resolved(fn, e)
         offs = space_offsets_of(e)
         slices = []
         for (d, off, (hl, hr)) in zip(fn.space_dimensions, offs, fn.halo):
@@ -237,30 +223,18 @@ class SparseCtx(BaseCtx):
     """
 
     def __init__(self, buffers, params, corner_idx, weights, sparse_fn,
-                 t=None):
-        super().__init__(buffers, params, t=t)
+                 t=None, direction=1):
+        super().__init__(buffers, params, t=t, direction=direction)
         self.corner_idx = corner_idx
         self.weights = weights
         self.sparse_fn = sparse_fn
 
     def access(self, e):
-        import jax
         fn = e.function
-        buf = self.buffers[fn.name]
         if fn.is_SparseFunction:
-            tidx = self._time_index(fn, e)
-            if tidx is not None:
-                row = jax.lax.dynamic_index_in_dim(buf, tidx, 0,
-                                                   keepdims=False)
-            else:
-                row = buf
-            return row  # (P,)
+            return self._time_resolved(fn, e)  # (P,)
         # dense gather at corners
-        tidx = self._time_index(fn, e)
-        if tidx is not None:
-            arr = jax.lax.dynamic_index_in_dim(buf, tidx, 0, keepdims=False)
-        else:
-            arr = buf
+        arr = self._time_resolved(fn, e)
         offs = space_offsets_of(e)
         idxs = []
         for (d, off, (hl, hr)) in zip(fn.space_dimensions, offs, fn.halo):

@@ -4,3 +4,4 @@ from .geometry import *  # noqa
 from .acoustic import *  # noqa
 from .utils import *  # noqa
 from .elastic import *  # noqa
+from .tti import *  # noqa

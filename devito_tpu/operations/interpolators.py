@@ -52,6 +52,16 @@ class Injection:
 
     def _lower(self, subs=None):
         from ..types.tensor import TensorLike
+        if isinstance(self.field, (tuple, list)):
+            # multi-field injection, e.g. src into (u.forward, v.forward)
+            # (reference: tti ForwardOperator, operators.py:460)
+            out = []
+            for f in self.field:
+                out.extend(Injection(self.sparse, f, self.expr,
+                                     u_t=self.u_t,
+                                     implicit_dims=self.implicit_dims)
+                           ._lower(subs=subs))
+            return out
         if isinstance(self.field, TensorLike):
             # inject into every distinct nonzero component (reference:
             # src.inject(tau.forward.diagonal(), ...) in elastic)

@@ -45,7 +45,8 @@ class Operator:
         tic = _time.perf_counter()
         self._schedule = lower_expressions(expressions, subs=subs)
         self._collect()
-        self._runner = build_runner(self._schedule, tuple(self._writes))
+        self._runner = build_runner(self._schedule, tuple(self._writes),
+                                    stepping_info=self._stepping_info)
         self._jit_cache = {}
         self._estimate_flops()
         self._build_time = _time.perf_counter() - tic
@@ -80,6 +81,17 @@ class Operator:
                 else:
                     writes[it.field.name] = it.field
                     reads[it.field.name] = it.field
+
+        # rolling-buffer (SteppingDimension) functions: the executor carries
+        # them as rotated slot tuples, so any body-read one must live in the
+        # loop carry even if never written
+        stepping = {}
+        for name, fn in reads.items():
+            dims = fn.dimensions
+            if fn.is_TimeFunction and dims and dims[0].is_Stepping:
+                stepping[name] = fn._time_size
+                writes.setdefault(name, fn)
+        self._stepping_info = stepping
 
         self._reads = reads
         self._writes = writes

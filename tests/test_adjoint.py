@@ -72,3 +72,24 @@ class TestAdjoint:
         term2 = inner(c, a)
         assert np.isclose((term1 - term2) / term1, 0., atol=1.e-6), \
             (term1, term2)
+
+
+class TestAdjointTTI:
+    """TTI forward/adjoint dot test (reference: test_adjoint.py TTI rows,
+    same atol 1e-11)."""
+
+    @pytest.mark.parametrize('shape, space_order', [
+        ((30, 35), 8),
+        ((30, 35), 4),
+    ])
+    def test_adjoint_F_tti(self, shape, space_order):
+        from devito_tpu.models.seismic.tti import tti_setup
+        solver = tti_setup(shape=shape, spacing=[15.] * len(shape),
+                           nbl=10, tn=250., space_order=space_order,
+                           dtype=np.float64)
+        rec, u, v, _ = solver.forward(save=False)
+        srca, p, r, _ = solver.adjoint(rec)
+        term1 = inner(srca, solver.geometry.src)
+        term2 = norm(rec) ** 2
+        assert np.isclose((term1 - term2) / term1, 0., atol=1.e-11), \
+            (term1, term2, (term1 - term2) / term1)
