@@ -41,6 +41,10 @@ def initialize_function(function, data, nbl, mapper=None, mode='constant',
         raise ValueError(f"Padded shape {padded.shape} != function shape "
                          f"{function.data.shape}")
     function.data[:] = padded.astype(function.dtype)
+    if pad_halo:
+        # also edge-fill the outer (stencil) halo so shifted parameter
+        # reads near the boundary are well-defined (reference behavior)
+        function.pad_outer_halo()
 
 
 def gaussian_smooth(f, sigma=1, truncate=4.0, mode='reflect'):

@@ -30,13 +30,18 @@ def _normalize_x0(entry, dim):
     return Rational(entry)
 
 
-def _expr_stagger(expr, dim):
-    """The stagger offset (0 or 1/2) of the accesses in ``expr`` along
-    ``dim``; 0 when mixed (mixed-stagger exprs are projected upstream)."""
+def _expr_staggers(expr, dim):
+    """The set of stagger offsets of the accesses in ``expr`` along
+    ``dim``."""
     from ..types.basic import retrieve_functions
     offs = set()
     for f in retrieve_functions(expr):
         offs.add(f.function.stagger_offset(dim))
+    return offs
+
+
+def _expr_stagger(expr, dim):
+    offs = _expr_staggers(expr, dim)
     if len(offs) == 1:
         return offs.pop()
     return Rational(0)
@@ -200,7 +205,18 @@ class Derivative(Differentiable, sympy.Expr):
         result = inner
         fd_orders = as_tuple(self._fd_order, len(self._dims))
         for (dim, order), fo in zip(self._dims, fd_orders):
-            stag = _expr_stagger(result, dim)
+            stags = _expr_staggers(result, dim)
+            if len(stags) > 1:
+                # mixed-stagger operand (e.g. div(b * v) with node b and
+                # staggered v): the staggered lattice wins (reference:
+                # fd_priority) and node factors are off-grid-interpolated
+                # onto it before expansion
+                from .differentiable import interp_for_fd
+                lat = max(stags, key=lambda s: s != 0)
+                result = interp_for_fd(result, {dim: lat})
+                stag = lat
+            else:
+                stag = stags.pop() if stags else Rational(0)
             if dim in self._x0:
                 target = self._x0[dim]
             elif x0 is not None and dim in x0:

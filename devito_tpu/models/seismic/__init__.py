@@ -5,3 +5,4 @@ from .acoustic import *  # noqa
 from .utils import *  # noqa
 from .elastic import *  # noqa
 from .tti import *  # noqa
+from .viscoacoustic import *  # noqa

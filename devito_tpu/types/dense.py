@@ -167,6 +167,30 @@ class DiscreteFunction(AbstractFunction):
     def data_with_halo(self):
         return self._ensure_host()
 
+    def pad_outer_halo(self):
+        """Edge-replicate the domain data into the outer halo ring
+        (reference: initialize_function's pad_halo — so shifted reads of
+        physical parameters near the boundary see edge values, not
+        zeros)."""
+        buf = self._ensure_host()
+        lead = len(self._leading_slices())
+        for j, (n, (hl, hr)) in enumerate(zip(
+                type(self)._space_shape, type(self)._halo)):
+            ax = lead + j
+            sl_all = [slice(None)] * buf.ndim
+            if hl:
+                src = list(sl_all)
+                src[ax] = slice(hl, hl + 1)
+                dst = list(sl_all)
+                dst[ax] = slice(0, hl)
+                buf[tuple(dst)] = buf[tuple(src)]
+            if hr:
+                src = list(sl_all)
+                src[ax] = slice(hl + n - 1, hl + n)
+                dst = list(sl_all)
+                dst[ax] = slice(hl + n, hl + n + hr)
+                buf[tuple(dst)] = buf[tuple(src)]
+
     # Read-only accessors (reference API)
     @property
     def data_ro_domain(self):

@@ -108,6 +108,14 @@ class TensorLike:
     def dt(self):
         return self._map(lambda c: c.dt)
 
+    @property
+    def dtl(self):
+        return self._map(lambda c: c.dtl)
+
+    @property
+    def dtr(self):
+        return self._map(lambda c: c.dtr)
+
     def values(self):
         return [c for row in self._comps for c in row]
 
@@ -160,6 +168,7 @@ class TensorFunction(TensorLike):
         """Row-wise divergence -> vector."""
         from ..finite_differences.derivative import Derivative
         from ..finite_differences.differentiable import Add
+        import sympy
         n = len(self._dims)
         comps = []
         for i in range(n):
@@ -168,9 +177,11 @@ class TensorFunction(TensorLike):
                 c = self._comps[i][j]
                 if c == 0:
                     continue
+                x0 = {d: d + sympy.Rational(shift)} if shift is not None \
+                    else {}
                 terms.append(Derivative(c, d,
                                         fd_order=order or c.space_order,
-                                        method=method))
+                                        x0=x0, method=method))
             comps.append(Add(*terms))
         return vec_from_components(comps, self._dims)
 
@@ -223,9 +234,12 @@ class VectorFunction(TensorLike):
     def div(self, shift=None, order=None, method='FD'):
         from ..finite_differences.derivative import Derivative
         from ..finite_differences.differentiable import Add
+        import sympy
         terms = []
         for c, d in zip(self.components, self._dims):
-            terms.append(Derivative(c, d, fd_order=order or c.space_order,
+            x0 = {d: d + sympy.Rational(shift)} if shift is not None else {}
+            order_c = order or getattr(c, 'space_order', None) or 2
+            terms.append(Derivative(c, d, fd_order=order_c, x0=x0,
                                     method=method))
         return Add(*terms)
 
