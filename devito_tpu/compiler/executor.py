@@ -68,6 +68,19 @@ def _resolve_time_indexed(bufs, fn, tk, toff, t, direction):
     raise CompilationError(f"Bad time access kind {tk}")
 
 
+def _use_pallas():
+    import jax
+    from ..parameters import configuration
+    mode = configuration['backend']
+    if mode == 'xla':
+        return False, False
+    on_cpu = jax.default_backend() == 'cpu'
+    if mode == 'pallas':
+        return True, on_cpu  # interpret off-TPU
+    # auto: pallas on accelerators only
+    return (not on_cpu), False
+
+
 def _exec_dense(eq, bufs, params, t, direction):
     import jax
     import jax.numpy as jnp
@@ -76,8 +89,29 @@ def _exec_dense(eq, bufs, params, t, direction):
 
     fn = eq.target
     name = fn.name
-    ctx = DenseCtx(bufs, params, _region_map(eq), t=t, direction=direction)
-    val = translate(eq.rhs, ctx)
+
+    use, interpret = _use_pallas()
+    val = None
+    if use and t is not None:
+        from . import pallas_backend as pb
+        plan = eq.__dict__.get('_pallas_plan', '?')
+        if plan == '?':
+            plan = pb.plan_for(eq, None)
+            eq._pallas_plan = plan
+        if plan is not None:
+            resolved = [
+                _resolve_time_indexed(bufs, g['fn'], g['tk'], g['toff'], t,
+                                      direction)
+                for g in plan.groups]
+            val = pb.execute_plan(plan, resolved, params, interpret)
+
+    if val is None:
+        ctx = DenseCtx(bufs, params, _region_map(eq), t=t,
+                       direction=direction)
+        val = translate(eq.rhs, ctx)
+    else:
+        ctx = DenseCtx(bufs, params, _region_map(eq), t=t,
+                       direction=direction)
 
     slices = _write_region_slices(eq)
     region_shape = tuple(s.stop - s.start for s in slices)

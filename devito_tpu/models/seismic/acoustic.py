@@ -198,6 +198,29 @@ class AcousticWaveSolver:
                               time_order=2, space_order=self.space_order)
         model = model or self.model
         kwargs.update(model.physical_params(**kwargs))
+        if checkpointing:
+            # reference: wavesolver.py checkpointed-gradient path via
+            # Revolver; here the native sqrt store/recompute schedule
+            from ...checkpointing import (CheckpointOperator,
+                                          DevitoCheckpoint, Revolver)
+            u_ck = TimeFunction(name='u', grid=self.model.grid,
+                                time_order=2,
+                                space_order=self.space_order)
+            cp = DevitoCheckpoint([u_ck])
+            nt = self.geometry.nt
+            tm, tM = 1, nt - 2
+            wrap_fw = CheckpointOperator(
+                self.op_fwd(save=False),
+                src=src if src is not None else self.geometry.src,
+                u=u_ck, dt=dt, **kwargs)
+            wrap_rev = CheckpointOperator(
+                self.op_grad(save=False), u=u_ck, v=v, rec=rec,
+                grad=grad, dt=dt, **kwargs)
+            wrp = Revolver(cp, wrap_fw, wrap_rev, None, tM - tm + 1,
+                           t_min=tm)
+            wrp.apply_forward()
+            wrp.apply_reverse()
+            return grad, None
         summary = self.op_grad().apply(rec=rec, grad=grad, v=v, u=u, dt=dt,
                                        **kwargs)
         return grad, summary
