@@ -334,12 +334,18 @@ class Operator:
         if self._grid is None or self._grid.distributor is None:
             return arr
         dist = self._grid.distributor
+        from jax.sharding import NamedSharding, PartitionSpec
         if fn is None or fn.is_SparseFunction:
-            from jax.sharding import NamedSharding, PartitionSpec
             sharding = NamedSharding(dist.mesh, PartitionSpec())
         else:
             with_time = (arr.ndim == self._grid.dim + 1)
-            sharding = dist.sharding(with_time_axis=with_time)
+            spec = [None] if with_time else []
+            shp = arr.shape[1:] if with_time else arr.shape
+            for name, t, n in zip(dist.axis_names, dist.topology, shp):
+                # only shard axes whose (padded) extent divides evenly;
+                # others stay replicated along that axis
+                spec.append(name if (t > 1 and n % t == 0) else None)
+            sharding = NamedSharding(dist.mesh, PartitionSpec(*spec))
         return jax.device_put(arr, sharding)
 
     # -- execution ---------------------------------------------------------
