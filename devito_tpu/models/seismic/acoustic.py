@@ -9,6 +9,7 @@ conventions (OT4 runs at 1.73x the OT2 critical dt).
 """
 
 import numpy as np
+import sympy
 
 from ...types import Eq, Inc, Function, TimeFunction
 from ...operator import Operator
@@ -29,6 +30,52 @@ def laplacian(field, model, kernel):
     return field.laplace + s ** 2 / 12 * biharmonic
 
 
+def freesurface(model, eq):
+    """Antisymmetric-mirror free surface at the top of the last dimension
+    (reference: operators.py freesurface:5 — accesses below z=0 map to
+    ``-u[|z|]``, plus ``u[z=0] = 0``).
+
+    The reference lowers this with runtime ``INT(abs(z))`` indexing inside
+    the fsdomain strip; here the strip is statically unrolled row by row so
+    every equation stays fixed-offset slice algebra (TPU-friendly)."""
+    from ...types.grid import SubDomain
+    from ...types.basic import AbstractFunction, retrieve_functions
+    from ...finite_differences.differentiable import evaluate_expr
+
+    lhs, rhs = eq.lhs, eq.rhs
+    grid = model.grid
+    zdim = grid.dimensions[-1]
+    nz = grid.shape[-1]
+    so = lhs.function.space_order
+    r = so  # unroll the full fsdomain thickness (reference strip = so)
+
+    x0 = {d: lhs.function.stagger_offset(d)
+          for d in lhs.function.dimensions if d.is_Space}
+    ev = evaluate_expr(rhs, x0=x0)
+
+    eqs = []
+    for j in range(1, r):
+        # mirror accesses that reach below z=0 in row j
+        subsmap = {}
+        for a in retrieve_functions(ev):
+            zoff = sympy.simplify(a.args[-1] - zdim)
+            if not zoff.is_number:
+                continue
+            k = int(zoff)
+            if j + k < 0:
+                knew = -(j + k) - j   # reflected row |j+k| as offset from j
+                subsmap[a] = -a.shift(zdim, knew - k)
+        row_rhs = ev.xreplace(subsmap) if subsmap else ev
+        sd = SubDomain(name=f'__fsrow{j}',
+                       spec={zdim: ('middle', j, nz - j - 1)}, grid=grid)
+        eqs.append(Eq(lhs, row_rhs, subdomain=sd))
+    # u = 0 on the free surface itself
+    sd0 = SubDomain(name='__fsrow0', spec={zdim: ('middle', 0, nz - 1)},
+                    grid=grid)
+    eqs.append(Eq(lhs, 0, subdomain=sd0))
+    return eqs
+
+
 def iso_stencil(field, model, kernel, forward=True, q=0):
     """Time-update stencil of the isotropic acoustic wave equation
     ``m u.dt2 - H - q + damp udt = 0`` solved for the next timestep
@@ -37,12 +84,11 @@ def iso_stencil(field, model, kernel, forward=True, q=0):
     udt = field.dt if forward else field.dt.T
     lap = laplacian(field, model, kernel)
     eq_time = solve(model.m * field.dt2 - lap - q + model.damp * udt, unext)
-    if model.fs:
-        raise NotImplementedError(
-            "Free-surface acoustic stencil lands with the dedicated "
-            "free-surface pass")
-    return [Eq(unext, eq_time,
+    eqns = [Eq(unext, eq_time,
                subdomain=model.grid.subdomains['physdomain'])]
+    if model.fs:
+        eqns.extend(freesurface(model, Eq(unext, eq_time)))
+    return eqns
 
 
 def ForwardOperator(model, geometry, space_order=4, save=False,

@@ -131,6 +131,13 @@ class DefaultDimension(Dimension):
 class DerivedDimension(Dimension):
     is_Derived = True
 
+    def __new__(cls, name, *args, **kwargs):
+        # NB: bypass the name-keyed symbol cache — two derived dimensions
+        # with the same name but different metadata (thickness, factor)
+        # must not share (and clobber) one symbol instance
+        obj = sympy.Symbol.__xnew__(cls, name, integer=True)
+        return obj
+
     @property
     def parent(self):
         return self._parent

@@ -191,7 +191,7 @@ class SubDomain:
                 dims.append(d)
             else:
                 side = s[0]
-                nm = f"{d.name}{self.name[:1]}{side[:1]}"
+                nm = f"{d.name}_{self.name}_{side[:1]}"
                 if side == 'left':
                     dims.append(SubDimension.left(nm, d, s[1]))
                 elif side == 'right':

@@ -93,3 +93,21 @@ class TestAdjointTTI:
         term2 = norm(rec) ** 2
         assert np.isclose((term1 - term2) / term1, 0., atol=1.e-11), \
             (term1, term2, (term1 - term2) / term1)
+
+
+    @pytest.mark.parametrize('shape, space_order', [((40, 45), 4)])
+    def test_adjoint_F_fs(self, shape, space_order):
+        """Free-surface variant (reference: layers-fs row)."""
+        solver = acoustic_setup(shape=shape, spacing=[15.] * len(shape),
+                                nbl=10, tn=250., space_order=space_order,
+                                preset='layers-isotropic', fs=True,
+                                dtype=np.float64)
+        srca = solver.geometry.new_src(name='srca', src_type=None)
+        rec = solver.forward(save=False)[0]
+        solver.adjoint(rec=rec, srca=srca)
+        term1 = inner(srca, solver.geometry.src)
+        term2 = norm(rec) ** 2
+        assert np.isclose((term1 - term2) / term1, 0., atol=1.e-11)
+        # the wavefield vanishes on the free surface
+        u = solver.forward(save=False)[1]
+        assert np.abs(np.asarray(u.data)[:, :, 0]).max() == 0.0
