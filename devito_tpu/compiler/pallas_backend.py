@@ -226,7 +226,7 @@ def execute_plan(plan, resolved, params, interpret):
 
     # build specs
     in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] * nparams +
-                [pl.BlockSpec(memory_space=pltpu.ANY)] * ngroups)
+                [pl.BlockSpec(memory_space=pl.ANY)] * ngroups)
     if ndim == 3:
         out_spec = pl.BlockSpec(
             (tiles[0], tiles[1], tiles[2]),

@@ -78,7 +78,13 @@ class ElasticWaveSolver:
                 model=None, save=None, **kwargs):
         src = src if src is not None else self.geometry.src
         op = self.op_fwd(save)
-        v0, tau0, rec1_d, rec2_d = op._elastic_fields
+        save_t = self.geometry.nt if save else None
+        v = v if v is not None else VectorTimeFunction(
+            name='v', grid=self.model.grid, save=save_t,
+            space_order=self.space_order, time_order=1)
+        tau = tau if tau is not None else TensorTimeFunction(
+            name='tau', grid=self.model.grid, save=save_t,
+            space_order=self.space_order, time_order=1)
         rec1 = rec1 if rec1 is not None else self.geometry.new_rec(
             name='rec1')
         rec2 = rec2 if rec2 is not None else self.geometry.new_rec(
@@ -87,15 +93,15 @@ class ElasticWaveSolver:
         kwargs.update(model.physical_params(**kwargs))
         apply_kw = dict(src=src, rec1=rec1, rec2=rec2,
                         dt=kwargs.pop('dt', self.dt), **kwargs)
-        if v is not None:
-            for comp_new, comp_old in zip(v.components, v0.components):
-                apply_kw[comp_old.name] = comp_new
-        if tau is not None:
-            for new, old in zip(tau.values(), tau0.values()):
-                apply_kw[old.name] = new
+        for c in v.components:
+            apply_kw[c.name] = c
+        seen = set()
+        for c in tau.values():
+            if c != 0 and id(c) not in seen:
+                seen.add(id(c))
+                apply_kw[c.name] = c
         summary = op.apply(**apply_kw)
-        return rec1, rec2, v if v is not None else v0, \
-            tau if tau is not None else tau0, summary
+        return rec1, rec2, v, tau, summary
 
 
 def elastic_setup(shape=(50, 50), spacing=(15., 15.), tn=500.,

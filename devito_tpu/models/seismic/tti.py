@@ -214,9 +214,11 @@ class AnisotropicWaveSolver:
         src = src if src is not None else self.geometry.src
         rec = rec if rec is not None else self.geometry.rec
         op = self.op_fwd(save)
-        u0, v0 = op._tti_fields
-        u = u or u0
-        v = v or v0
+        save_t = self.geometry.nt if save else None
+        u = u or TimeFunction(name='u', grid=self.model.grid, save=save_t,
+                              time_order=2, space_order=self.space_order)
+        v = v or TimeFunction(name='v', grid=self.model.grid, save=save_t,
+                              time_order=2, space_order=self.space_order)
         model = model or self.model
         kwargs.update(model.physical_params(**kwargs))
         summary = op.apply(src=src, rec=rec, u=u, v=v,
@@ -225,10 +227,12 @@ class AnisotropicWaveSolver:
 
     def adjoint(self, rec, srca=None, p=None, r=None, model=None, **kwargs):
         op = self.op_adj()
-        p0, r0, srca0 = op._tti_fields
-        srca = srca if srca is not None else srca0
-        p = p or p0
-        r = r or r0
+        srca = srca if srca is not None else self.geometry.new_src(
+            name='srca', src_type=None)
+        p = p or TimeFunction(name='p', grid=self.model.grid, time_order=2,
+                              space_order=self.space_order)
+        r = r or TimeFunction(name='r', grid=self.model.grid, time_order=2,
+                              space_order=self.space_order)
         model = model or self.model
         kwargs.update(model.physical_params(**kwargs))
         summary = op.apply(rec=rec, srca=srca, p=p, r=r,

@@ -266,34 +266,67 @@ class ViscoacousticWaveSolver:
                                     time_order=self.time_order,
                                     **self._kwargs)
 
-    def forward(self, src=None, rec=None, p=None, model=None, save=None,
-                **kwargs):
+    def _fresh_fields(self, names_vec, p_name, save_t=None):
+        extra = {}
+        if self.time_order == 1:
+            v = VectorTimeFunction(name=names_vec, grid=self.model.grid,
+                                   time_order=1,
+                                   space_order=self.space_order,
+                                   save=save_t)
+            extra[names_vec] = v
+        p = TimeFunction(name=p_name, grid=self.model.grid,
+                         time_order=self.time_order,
+                         space_order=self.space_order, save=save_t,
+                         staggered=NODE)
+        r = TimeFunction(name='r', grid=self.model.grid,
+                         time_order=self.time_order,
+                         space_order=self.space_order, save=save_t,
+                         staggered=NODE)
+        return p, r, extra
+
+    def forward(self, src=None, rec=None, p=None, r=None, v=None,
+                model=None, save=None, **kwargs):
         src = src if src is not None else self.geometry.src
         rec = rec if rec is not None else self.geometry.rec
         op = self.op_fwd(save)
-        p0, v0 = op._fields
-        p = p or p0
+        save_t = self.geometry.nt if save else None
+        p_new, r_new, extra = self._fresh_fields('v', 'p', save_t)
+        p = p or p_new
+        r = r or r_new
+        apply_kw = dict(src=src, rec=rec, p=p,
+                        dt=kwargs.pop('dt', self.dt))
+        if self.kernel == 'sls':
+            apply_kw['r'] = r
+        v = v if v is not None else extra.get('v')
+        if v is not None:
+            for c in v.components:
+                apply_kw[c.name] = c
         model = model or self.model
         kwargs.update(model.physical_params(**kwargs))
-        summary = op.apply(src=src, rec=rec, p=p,
-                           dt=kwargs.pop('dt', self.dt), **kwargs)
-        return rec, p, v0, summary
+        summary = op.apply(**apply_kw, **kwargs)
+        return rec, p, v, summary
 
     def adjoint(self, rec, srca=None, pa=None, model=None, **kwargs):
         op = self.op_adj()
-        pa0, va0 = op._fields
         srca = srca if srca is not None else self.geometry.new_src(
             name='srca', src_type=None)
-        pa = pa or pa0
+        pa_new, r_new, extra = self._fresh_fields('va', 'pa', None)
+        pa = pa or pa_new
         model = model or self.model
         kwargs.update(model.physical_params(**kwargs))
         if self.time_order == 1:
             # reference: wavesolver.py adjoint forces time_m=0 for the
             # 1st-order system
             kwargs.setdefault('time_m', 0)
-        # the adjoint source is interpolated onto the op's `src` slot
-        summary = op.apply(rec=rec, src=srca, pa=pa,
-                           dt=kwargs.pop('dt', self.dt), **kwargs)
+        apply_kw = dict(rec=rec, src=srca, pa=pa,
+                        dt=kwargs.pop('dt', self.dt))
+        if self.kernel == 'sls':
+            apply_kw['r'] = r_new
+        va = extra.get('va')
+        if va is not None:
+            for c in va.components:
+                apply_kw[c.name] = c
+        summary = op.apply(**apply_kw, **kwargs)
         return srca, pa, summary
 
 
