@@ -30,7 +30,7 @@ class DiscreteFunction(AbstractFunction):
 
     @classmethod
     def __init_metadata__(cls, name=None, grid=None, shape=None,
-                          dimensions=None, dtype=None, space_order=2,
+                          dimensions=None, dtype=None, space_order=1,
                           staggered=None, padding=None, initializer=None,
                           allocator=None, parameter=False, avg_mode=None,
                           coefficients=None, **kwargs):
