@@ -188,21 +188,36 @@ def _sparse_geometry(sf, bufs, params):
 
     fn = sf
     grid = fn.grid
-    coords = bufs[f"{fn.name}_coords"]
     interp = fn.interpolator
     dims = grid.dimensions
 
     per_dim = []
     valid = None
-    for j, d in enumerate(dims):
-        h = params.get(d.spacing.name, grid.spacing[j])
-        o = grid.origin[j]
-        n = grid.shape[j]
-        px = (coords[:, j] - o) / h  # position in grid points (P,)
-        offsets, wlist, base = interp.dim_weights(px)
-        v = (px >= 0) & (px <= n - 1)
-        valid = v if valid is None else (valid & v)
-        per_dim.append((d, offsets, wlist, base, n))
+    if getattr(interp, 'name', '') == 'precomputed':
+        # gridpoints + coefficient tables supplied by the user
+        # (reference: PrecomputedInterpolator, operations/interpolators.py:555)
+        r = interp.r
+        for j, d in enumerate(dims):
+            n = grid.shape[j]
+            offsets, coeffs, gp = interp.dim_weights_precomputed(j)
+            # sample points are gridpoint + (i - r + 1), i in [0, 2r)
+            # (reference sinc/precomputed convention)
+            offsets = [i - r + 1 for i in range(coeffs.shape[1])]
+            wlist = [coeffs[:, i] for i in range(coeffs.shape[1])]
+            v = (gp >= 0) & (gp <= n - 1)
+            valid = v if valid is None else (valid & v)
+            per_dim.append((d, offsets, wlist, gp, n))
+    else:
+        coords = bufs[f"{fn.name}_coords"]
+        for j, d in enumerate(dims):
+            h = params.get(d.spacing.name, grid.spacing[j])
+            o = grid.origin[j]
+            n = grid.shape[j]
+            px = (coords[:, j] - o) / h  # position in grid points (P,)
+            offsets, wlist, base = interp.dim_weights(px)
+            v = (px >= 0) & (px <= n - 1)
+            valid = v if valid is None else (valid & v)
+            per_dim.append((d, offsets, wlist, base, n))
 
     corner_idx = {d.name: [] for d, *_ in per_dim}
     weights = []

@@ -191,6 +191,37 @@ class Operator:
 
     __repr__ = __str__
 
+    # -- introspection (the analog of op.ccode / op.cinterface) ------------
+
+    def jaxpr(self, **kwargs):
+        """The jaxpr of the compiled time loop (reference analog:
+        ``op.ccode`` — generated-code inspection for tests)."""
+        import jax
+        kwargs.setdefault('dt', 1.0)
+        kwargs.setdefault('time_M', 1)
+        wbufs, rbufs, params, tm, tM, _ = self._prepare(kwargs)
+        return jax.make_jaxpr(self._runner)(wbufs, rbufs, params,
+                                            np.int32(tm), np.int32(tM))
+
+    def hlo(self, **kwargs):
+        """StableHLO text of the compiled time loop."""
+        import jax
+        kwargs.setdefault('dt', 1.0)
+        kwargs.setdefault('time_M', 1)
+        wbufs, rbufs, params, tm, tM, _ = self._prepare(kwargs)
+        return jax.jit(self._runner).lower(
+            wbufs, rbufs, params, np.int32(tm), np.int32(tM)).as_text()
+
+    def estimate_memory(self, **kwargs):
+        """Bytes of device memory the operator's buffers require
+        (reference: operator.py estimate_memory:909)."""
+        total = 0
+        for fn in self._reads.values():
+            total += int(np.prod(fn.shape_allocated)) * fn.dtype.itemsize
+            if fn.is_SparseFunction:
+                total += fn._coords_host.nbytes
+        return total
+
     # -- runtime arguments -------------------------------------------------
 
     def _default_time_bounds(self):

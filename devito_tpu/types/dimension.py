@@ -123,6 +123,9 @@ class DefaultDimension(Dimension):
         obj._default_value = default_value
         return obj
 
+    def __reduce__(self):
+        return (DefaultDimension, (self.name, self._default_value))
+
     @property
     def default_value(self):
         return self._default_value
@@ -150,6 +153,13 @@ class DerivedDimension(Dimension):
         return super()._hashable_content() + (self._parent,)
 
 
+def _rebuild_subdim(name, parent, lt, rt, local, side, width):
+    obj = SubDimension(name, parent, lt, rt, local=local)
+    obj._side = side
+    obj._width = width
+    return obj
+
+
 class SteppingDimension(DerivedDimension):
     """Time-buffer dimension: iterates modulo the number of time slots kept
     alive (reference: SteppingDimension — modulo time buffering)."""
@@ -161,6 +171,9 @@ class SteppingDimension(DerivedDimension):
         obj = super().__new__(cls, name, **kwargs)
         obj._parent = parent
         return obj
+
+    def __reduce__(self):
+        return (SteppingDimension, (self.name, self._parent))
 
     @property
     def spacing(self):
@@ -209,6 +222,12 @@ class SubDimension(DerivedDimension):
         obj._side = 'middle'
         obj._width = None
         return obj
+
+    def __reduce__(self):
+        return (_rebuild_subdim,
+                (self.name, self._parent, self._thickness[0],
+                 self._thickness[1], self._local, self.side,
+                 getattr(self, '_width', None)))
 
     @property
     def side(self):
@@ -262,6 +281,11 @@ class ConditionalDimension(DerivedDimension):
         obj._condition = condition
         obj._indirect = indirect
         return obj
+
+    def __reduce__(self):
+        return (ConditionalDimension,
+                (self.name, self._parent, self._factor, self._condition,
+                 self._indirect))
 
     @property
     def factor(self):
