@@ -68,8 +68,9 @@ def main():
         # block_until_ready alone does not guarantee execution completed
         return float(np.asarray(u._device_array()[0, n // 2, n // 2, n // 2]))
 
-    # warmup (jit compile + 2 steps)
-    op.apply(time_m=0, time_M=1, dt=dt)
+    # warmup (jit compile + 2 steps); optional tile autotuning
+    at = os.environ.get('BENCH_AUTOTUNE')
+    op.apply(time_m=0, time_M=1, dt=dt, autotune=at if at else None)
     sync()
     # timed run
     t0 = time.perf_counter()

@@ -28,6 +28,15 @@ __all__ = ['PallasPlan', 'plan_for', 'execute_plan']
 # VMEM budget for input windows (bytes); leave room for output + pipeline
 _VMEM_BUDGET = 10 * 1024 * 1024
 
+# Autotuner override: (t0,) for 2D or (t0, t1) for 3D; None = defaults
+# (reference analog: the block-shape search in core/autotuning.py)
+_tile_override = None
+
+
+def set_tile_override(tiles):
+    global _tile_override
+    _tile_override = tiles
+
 
 def _pick_tile(n, prefer):
     for t in prefer:
@@ -98,17 +107,23 @@ def plan_for(eq, stepping_info):
         return None  # coordinate-dependent exprs: XLA path
 
     # tiling: tile dim0 (and dim1 in 3D); innermost dim full
+    ov = _tile_override
     if ndim == 3:
         n0, n1, n2 = region_shape
-        t0 = _pick_tile(n0, (8, 16, 4, 2, 1))
-        t1 = _pick_tile(n1, (128, 64, 32, 16, 8, 4, 2, 1))
+        pref0 = (ov[0],) if ov else (8, 16, 4, 2, 1)
+        pref1 = (ov[1],) if ov and len(ov) > 1 else \
+            (128, 64, 32, 16, 8, 4, 2, 1)
+        t0 = _pick_tile(n0, pref0) or _pick_tile(n0, (8, 16, 4, 2, 1))
+        t1 = _pick_tile(n1, pref1) or _pick_tile(
+            n1, (128, 64, 32, 16, 8, 4, 2, 1))
         if t0 is None or t1 is None:
             return None
         tiles = (t0, t1, n2)
         grid_shape = (n0 // t0, n1 // t1)
     else:
         n0, n1 = region_shape
-        t0 = _pick_tile(n0, (16, 8, 32, 4, 2, 1))
+        pref0 = (ov[0],) if ov else (16, 8, 32, 4, 2, 1)
+        t0 = _pick_tile(n0, pref0) or _pick_tile(n0, (16, 8, 32, 4, 2, 1))
         if t0 is None:
             return None
         tiles = (t0, n1)

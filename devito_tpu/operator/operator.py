@@ -381,8 +381,68 @@ class Operator:
 
     # -- execution ---------------------------------------------------------
 
+    def _autotune(self, wbufs, rbufs, params, tm, mode='basic'):
+        """Search Pallas tile shapes by timing short shadow runs
+        (reference: core/autotuning.py:19 — preemptive mode with
+        shadow-copied outputs and a shrunk time range)."""
+        import jax
+        import jax.numpy as jnp
+        from ..compiler import pallas_backend as pb
+
+        if jax.default_backend() == 'cpu' or not self._schedule.body:
+            return
+        if mode == 'aggressive':
+            cands = [(4, 256), (8, 32), (8, 64), (8, 128), (8, 256),
+                     (16, 64), (16, 128), (16, 32), (32, 32), (4, 128)]
+        else:
+            cands = [(8, 64), (8, 128), (16, 64), (8, 256)]
+        cands = [None] + cands  # None = default heuristics
+
+        def _clear_plans():
+            for it in self._schedule.body:
+                it.__dict__.pop('_pallas_plan', None)
+
+        results = []
+        tM_at = tm + 3
+        for cand in cands:
+            pb.set_tile_override(cand)
+            _clear_plans()
+            try:
+                jitted = jax.jit(self._runner)
+                shadow = {k: jnp.array(v) for k, v in wbufs.items()}
+                compiled = jitted.lower(shadow, rbufs, params,
+                                        np.int32(tm),
+                                        np.int32(tM_at)).compile()
+                out = compiled(shadow, rbufs, params, np.int32(tm),
+                               np.int32(tM_at))
+                jax.block_until_ready(out)
+                tic = _time.perf_counter()
+                for _ in range(2):
+                    out = compiled({k: jnp.array(v)
+                                    for k, v in wbufs.items()},
+                                   rbufs, params, np.int32(tm),
+                                   np.int32(tM_at))
+                    jax.block_until_ready(out)
+                elapsed = _time.perf_counter() - tic
+                results.append((elapsed, cand))
+            except Exception as e:
+                log_perf(f"autotune candidate {cand} failed: "
+                         f"{str(e)[:80]}")
+        if not results:
+            pb.set_tile_override(None)
+            return
+        best = min(results)[1]
+        log_perf(f"Operator `{self._name}` autotuned tiles -> {best} "
+                 f"({len(results)} candidates)")
+        self._tile_override = best
+        pb.set_tile_override(best)
+        _clear_plans()
+        self._jit_cache.clear()
+
     def _compiled(self, wbufs, rbufs, params, tm, tM):
         import jax
+        from ..compiler import pallas_backend as pb
+        pb.set_tile_override(getattr(self, '_tile_override', None))
         key = (tuple(sorted((k, v.shape, str(v.dtype))
                             for k, v in wbufs.items())),
                tuple(sorted((k, v.shape, str(v.dtype))
@@ -402,7 +462,17 @@ class Operator:
     def apply(self, **kwargs):
         import jax
         import numpy as _np
+        autotune = kwargs.pop('autotune', None)
+        if autotune is None:
+            at_cfg = configuration['autotuning']
+            autotune = at_cfg if at_cfg != 'off' else None
         wbufs, rbufs, params, time_m, time_M, bound = self._prepare(kwargs)
+
+        if autotune and not getattr(self, '_autotuned', False):
+            self._autotune(wbufs, rbufs, params, time_m,
+                           mode=autotune if isinstance(autotune, str)
+                           else 'basic')
+            self._autotuned = True
 
         tm = _np.int32(time_m)
         tM = _np.int32(time_M)
