@@ -33,11 +33,38 @@ def roofline_gpts(device_kind, bytes_per_point):
     return bw / bytes_per_point / 1e9
 
 
+def _watchdog(seconds):
+    """Emit a zero-value line and hard-exit if the device wedges (the
+    remote TPU tunnel can hang mid-RPC); keeps the driver's bench step
+    from timing out without output."""
+    import threading
+
+    def _fire():
+        print(json.dumps({
+            "metric": "acoustic3d_so8_forward_gpts_per_chip",
+            "value": 0.0, "unit": "GPts/s", "vs_baseline": 0.0,
+            "note": f"device unresponsive after {seconds}s",
+        }), flush=True)
+        import os as _os
+        _os._exit(3)
+
+    t = threading.Timer(seconds, _fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
     import jax
+    from devito_tpu import configuration
+    # the Pallas backend is opt-in for benchmarking until its pipelined v2
+    # beats the XLA slice path
+    configuration['backend'] = os.environ.get('BENCH_BACKEND', 'xla')
     from devito_tpu import Grid, TimeFunction, Function, Eq, Operator, solve
     from devito_tpu.models.seismic import demo_model, AcquisitionGeometry
     from devito_tpu.models.seismic.acoustic import ForwardOperator
+
+    timer = _watchdog(int(os.environ.get('BENCH_TIMEOUT', 480)))
 
     n = int(os.environ.get('BENCH_SIZE', 256))
     so = int(os.environ.get('BENCH_SO', 8))
@@ -83,6 +110,7 @@ def main():
     # bytes/pt for this stencil (u[t] read once amortized, u[t-1], vp, damp
     # reads + u[t+1] write = 5 f32 streams)
     target = 0.8 * roofline_gpts(kind, bytes_per_point=5 * 4)
+    timer.cancel()
     print(json.dumps({
         "metric": f"acoustic3d_so{so}_forward_gpts_per_chip",
         "value": round(float(gpts), 3),

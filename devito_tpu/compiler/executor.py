@@ -71,14 +71,18 @@ def _resolve_time_indexed(bufs, fn, tk, toff, t, direction):
 def _use_pallas():
     import jax
     from ..parameters import configuration
+    from . import pallas_backend as pb
     mode = configuration['backend']
     if mode == 'xla':
         return False, False
     on_cpu = jax.default_backend() == 'cpu'
     if mode == 'pallas':
         return True, on_cpu  # interpret off-TPU
-    # auto: pallas on accelerators only
-    return (not on_cpu), False
+    # auto: pallas on accelerators only, and only if the structure probe
+    # compiles on this chip (Mosaic feature coverage varies by generation)
+    if on_cpu:
+        return False, False
+    return pb.validate_backend(), False
 
 
 def _exec_dense(eq, bufs, params, t, direction):

@@ -38,6 +38,59 @@ def set_tile_override(tiles):
     _tile_override = tiles
 
 
+_backend_ok = None
+
+
+def validate_backend(interpret=False):
+    """Eagerly compile+run a miniature kernel with the same structure
+    (ANY->VMEM halo DMA, blocked output) on the current backend; disable
+    the Pallas path for the session if Mosaic rejects it."""
+    global _backend_ok
+    if _backend_ok is not None:
+        return _backend_ok
+    try:
+        import jax
+        import jax.numpy as jnp
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        H, T, NZ, ZP = 2, 4, 16, 128
+
+        def kernel(src, out_ref, scratch, sem):
+            i = pl.program_id(0)
+            cp = pltpu.make_async_copy(
+                src.at[pl.ds(i * T, T + 2 * H),
+                       pl.ds(0, T + 2 * H), :],
+                scratch, sem)
+            cp.start()
+            cp.wait()
+            val = (scratch[H:-H, H:-H, H:H + NZ]
+                   + scratch[H + 1:H + 1 + T, H:-H,
+                             H + 1:H + 1 + NZ])
+            out_ref[...] = jnp.pad(val, ((0, 0), (0, 0), (0, ZP - NZ)))
+
+        x = jnp.ones((T * 2 + 2 * H, T + 2 * H, ZP), jnp.float32)
+        out = pl.pallas_call(
+            kernel,
+            grid=(2,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((T, T, ZP), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((2 * T, T, ZP), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((T + 2 * H, T + 2 * H, ZP), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+        )(x)
+        jax.block_until_ready(out)
+        _backend_ok = bool(abs(float(out[0, 0, 0]) - 2.0) < 1e-6)
+    except Exception as e:
+        debug(f"pallas backend validation failed: {str(e)[:200]}")
+        _backend_ok = False
+    return _backend_ok
+
+
 def _pick_tile(n, prefer):
     for t in prefer:
         if t <= n and n % t == 0:
@@ -129,17 +182,17 @@ def plan_for(eq, stepping_info):
         tiles = (t0, n1)
         grid_shape = (n0 // t0,)
 
-    # VMEM budget check for the input windows
+    # VMEM budget check for the input windows (z = full aligned alloc)
     itemsize = np.dtype(fn.dtype).itemsize
     total = 0
     for g in groups.values():
         f = g['fn']
         halo = f.halo
         win = 1
-        for j in range(ndim):
+        for j in range(ndim - 1):
             hl, hr = halo[j]
-            tdim = tiles[j] if j < len(tiles) else region_shape[j]
-            win *= tdim + hl + hr
+            win *= tiles[j] + hl + hr
+        win *= f.shape_allocated[-1]
         total += win * itemsize
     if total > _VMEM_BUDGET:
         debug(f"pallas: VMEM budget exceeded ({total} B), falling back")
@@ -172,22 +225,33 @@ class _TileCtx:
         ref = self.refs[(f.name, tk, toff)]
         offs = space_offsets_of(e)
         tiles = self.plan.tiles
+        ndim = len(offs)
         sl = []
         for j, (off, (hl, hr)) in enumerate(zip(offs, f.halo)):
             ext = tiles[j]
-            s = hl + off
+            if j == ndim - 1:
+                # z window is the full (aligned) allocation: absolute index
+                s = hl + self.region[j][0] + off
+            else:
+                s = hl + off
             sl.append(slice(s, s + ext))
         return ref[tuple(sl)]
 
 
 def execute_plan(plan, resolved, params, interpret):
     """Run the plan: ``resolved`` maps group index -> padded (time-resolved)
-    jax array; returns the region-shaped result."""
+    jax array; returns the region-shaped result.
+
+    Mosaic constraint honored here: HBM DMA windows must be 128-aligned in
+    the last dim, so the z window is the function's full (lane-aligned)
+    allocation and the output block is zero-padded to a lane multiple.
+    """
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     from .translate import translate
+    from ..utils import round_up
 
     eq = plan.eq
     ndim = len(eq.region)
@@ -196,6 +260,8 @@ def execute_plan(plan, resolved, params, interpret):
     tiles = plan.tiles
     ngroups = len(plan.groups)
     nparams = len(plan.param_names)
+    nz = region_shape[-1]
+    zp_out = round_up(nz, 128)
 
     def kernel(*args):
         # args: [param_smem...] + [hbm inputs...] + out_ref + scratch
@@ -212,7 +278,7 @@ def execute_plan(plan, resolved, params, interpret):
             f = g['fn']
             halo = f.halo
             idx = []
-            for j in range(ndim):
+            for j in range(ndim - 1):
                 hl, hr = halo[j]
                 base = region_start[j]
                 if j < len(plan.grid_shape):
@@ -220,10 +286,9 @@ def execute_plan(plan, resolved, params, interpret):
                 else:
                     start = base
                 ext = tiles[j] + hl + hr
-                # source window in the fn's padded array: padded index =
-                # halo + (domain idx) + offset - halo  => window starts at
-                # (start) in padded coords (halo cancels)
+                # window start in padded coords: halo+start-halo = start
                 idx.append(pl.ds(start, ext))
+            idx.append(slice(None))  # full aligned z window
             cp = pltpu.make_async_copy(ins[gi].at[tuple(idx)], scratch[gi],
                                        sems.at[gi])
             cp.start()
@@ -237,6 +302,9 @@ def execute_plan(plan, resolved, params, interpret):
         ctx = _TileCtx(plan, refs, param_refs, eq.region)
         val = translate(eq.rhs, ctx)
         val = jnp.broadcast_to(val, tiles).astype(plan.dtype)
+        if zp_out != nz:
+            pad = [(0, 0)] * (ndim - 1) + [(0, zp_out - nz)]
+            val = jnp.pad(val, pad)
         out_ref[...] = val
 
     # build specs
@@ -244,32 +312,37 @@ def execute_plan(plan, resolved, params, interpret):
                 [pl.BlockSpec(memory_space=pl.ANY)] * ngroups)
     if ndim == 3:
         out_spec = pl.BlockSpec(
-            (tiles[0], tiles[1], tiles[2]),
+            (tiles[0], tiles[1], zp_out),
             lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
     else:
         out_spec = pl.BlockSpec(
-            (tiles[0], tiles[1]),
+            (tiles[0], zp_out),
             lambda i: (i, 0), memory_space=pltpu.VMEM)
 
     scratch_shapes = []
     for g in plan.groups:
         f = g['fn']
         shp = []
-        for j in range(ndim):
+        for j in range(ndim - 1):
             hl, hr = f.halo[j]
             shp.append(tiles[j] + hl + hr)
+        shp.append(f.shape_allocated[-1])
         scratch_shapes.append(pltpu.VMEM(tuple(shp), plan.dtype))
     scratch_shapes.append(pltpu.SemaphoreType.DMA((ngroups,)))
 
     param_args = [jnp.asarray([params[n]], dtype=plan.dtype)
                   for n in plan.param_names]
+    out_shape = region_shape[:-1] + (zp_out,)
     call = pl.pallas_call(
         kernel,
         grid=plan.grid_shape,
         in_specs=in_specs,
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct(region_shape, plan.dtype),
+        out_shape=jax.ShapeDtypeStruct(out_shape, plan.dtype),
         scratch_shapes=scratch_shapes,
         interpret=interpret,
     )
-    return call(*param_args, *resolved)
+    out = call(*param_args, *resolved)
+    if zp_out != nz:
+        out = out[..., :nz]
+    return out

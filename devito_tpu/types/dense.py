@@ -104,7 +104,17 @@ class DiscreteFunction(AbstractFunction):
         return tuple(n + l + r for n, (l, r)
                      in zip(self.shape, self.halo))
 
-    shape_allocated = shape_with_halo
+    @property
+    def shape_allocated(self):
+        """Halo'd shape with the innermost extent rounded up to the TPU
+        lane width (128) — Mosaic requires 128-aligned last-dim windows for
+        HBM DMA, and XLA lays the trailing pad out for free. The pad tail
+        is never addressed by the slice lowering."""
+        s = self.shape_with_halo
+        if not s:
+            return s
+        from ..utils import round_up
+        return s[:-1] + (round_up(s[-1], 128),)
 
     @property
     def is_parameter(self):
@@ -165,7 +175,10 @@ class DiscreteFunction(AbstractFunction):
 
     @property
     def data_with_halo(self):
-        return self._ensure_host()
+        buf = self._ensure_host()
+        # trim the lane-alignment tail pad
+        sl = tuple(slice(0, n) for n in self.shape_with_halo)
+        return buf[sl]
 
     def pad_outer_halo(self):
         """Edge-replicate the domain data into the outer halo ring
@@ -294,7 +307,11 @@ class TimeFunction(Function):
             n + l + r for n, (l, r) in zip(type(self)._space_shape,
                                            self.halo))
 
-    shape_allocated = shape_with_halo
+    @property
+    def shape_allocated(self):
+        s = self.shape_with_halo
+        from ..utils import round_up
+        return s[:-1] + (round_up(s[-1], 128),)
 
     @property
     def halo(self):
