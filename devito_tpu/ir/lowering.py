@@ -174,7 +174,20 @@ def _region_of(target, subdomain):
 
 
 def lower_one(eq):
-    """Lower a single (already evaluated) Eq to LoweredEq."""
+    """Lower a single (already evaluated) Eq to LoweredEq (or a list, for
+    SubDomainSet equations — one rectangular region each, the static
+    analog of the reference's implicit-equation lowering,
+    passes/clusters/implicit.py:19)."""
+    from ..types.grid import SubDomainSet
+    if isinstance(eq.subdomain, SubDomainSet):
+        sdset = eq.subdomain
+        grid = getattr(sdset, '_grid', None) or eq.lhs.function.grid
+        out = []
+        for region in sdset.region_bounds(grid):
+            sub = lower_one(type(eq)(eq.lhs, eq.rhs, evaluate=False))
+            sub.region = region
+            out.append(sub)
+        return out
     lhs, rhs = eq.lhs, eq.rhs
     if not isinstance(lhs, AbstractFunction):
         raise InvalidOperator(f"Unsupported lhs {lhs} (not a function access)")
@@ -223,7 +236,11 @@ def lower_expressions(expressions, subs=None):
             ev = e.evaluate
             if subs:
                 ev = ev.subs(subs)
-            items.append(lower_one(ev))
+            lowered = lower_one(ev)
+            if isinstance(lowered, list):
+                items.extend(lowered)
+            else:
+                items.append(lowered)
         else:
             raise InvalidOperator(f"Cannot lower {type(e).__name__}: {e}")
 

@@ -305,6 +305,15 @@ def demo_model(preset, shape=(51, 51), spacing=(10., 10.), origin=None,
     elif preset in ('layers-isotropic', 'layers'):
         v = np.full(shape, vp_top, dtype=dtype)
         v[..., shape[-1] // 2:] = vp_bottom
+    elif preset in ('circle-isotropic',):
+        # camembert model (reference: preset_models.py circle-isotropic)
+        vp_circle = kwargs.pop('vp_circle', 3.0)
+        vp_background = kwargs.pop('vp_background', 2.5)
+        r = kwargs.pop('r', 15)
+        v = np.full(shape, vp_background, dtype=dtype)
+        a, b = shape[0] / 2, shape[1] / 2
+        y, x = np.ogrid[-a:shape[0] - a, -b:shape[1] - b]
+        v[x * x + y * y <= r * r] = vp_circle
     else:
         raise ValueError(f"Unknown preset {preset}")
     return SeismicModel(origin=origin, spacing=spacing, shape=shape,

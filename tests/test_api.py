@@ -115,3 +115,24 @@ class TestConfig:
     def test_invalid_value(self):
         with pytest.raises(Exception):
             configuration['opt'] = 'bogus'
+
+
+class TestSubDomainSet:
+
+    def test_subdomainset_regions(self):
+        """N irregular regions updated independently (reference:
+        SubDomainSet, grid.py:783)."""
+        from devito_tpu import SubDomainSet
+        import numpy as np
+        grid = Grid(shape=(20, 20))
+        # two regions: thicknesses (left, right) per dim
+        bounds = (np.array([2, 12]), np.array([14, 2]),
+                  np.array([3, 10]), np.array([13, 4]))
+        sds = SubDomainSet(name='sds', N=2, bounds=bounds)
+        u = TimeFunction(name='u', grid=grid)
+        op = Operator(Eq(u.forward, u + 1, subdomain=sds))
+        op.apply(time_M=0, dt=1.0)
+        d = np.asarray(u.data[1])
+        assert np.allclose(d[2:6, 3:7], 1.0)
+        assert np.allclose(d[12:18, 10:16], 1.0)
+        assert d.sum() == 4 * 4 + 6 * 6
