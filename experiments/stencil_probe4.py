@@ -1,0 +1,194 @@
+"""Pallas v3: (TX,TY)-tiled acoustic SO=8 step; halo'd u_t window manually
+DMA'd with cross-tile double buffering; center-only inputs (u_prev, m,
+damp) via regular pipelined BlockSpecs; z fully resident and lane-aligned.
+
+MODE=cpu validates in interpret mode; MODE=tpu measures.
+N should satisfy (N + 2*pad) %% 128 == 0 for zero z waste (e.g. 112, 240).
+"""
+import os
+import time
+from functools import partial
+
+import numpy as np
+
+MODE = os.environ.get('MODE', 'cpu')
+if MODE == 'cpu':
+    os.environ['JAX_PLATFORMS'] = 'cpu'
+
+import jax  # noqa: E402
+if MODE == 'cpu':
+    jax.config.update('jax_platforms', 'cpu')
+import jax.numpy as jnp  # noqa: E402
+from jax.experimental import pallas as pl  # noqa: E402
+from jax.experimental.pallas import tpu as pltpu  # noqa: E402
+
+N = int(os.environ.get('N', 48 if MODE == 'cpu' else 240))
+STEPS = int(os.environ.get('STEPS', 4 if MODE == 'cpu' else 64))
+TX = int(os.environ.get('TX', 16))
+TY = int(os.environ.get('TY', 32))
+SO = 8
+H = SO // 2
+W = [np.float32(w) for w in [-1/560, 8/315, -1/5, 8/5, -205/72, 8/5, -1/5,
+                             8/315, -1/560]]
+pad = H
+NP = N + 2 * pad
+ZA = ((NP + 127) // 128) * 128
+shape = (NP, NP, ZA)
+INTERP = MODE == 'cpu'
+NXT, NYT = N // TX, N // TY
+
+
+def lap_interior(u):
+    c = slice(pad, pad + N)
+    out = 0.
+    for axis in range(3):
+        for i, w in enumerate(W):
+            k = i - H
+            idx = [c, c, slice(pad, pad + N)]
+            idx[axis] = slice(pad + k, pad + k + N)
+            out = out + w * u[tuple(idx)]
+    return out
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def run_A(u0, u1, m, nsteps):
+    def body(i, carry):
+        up, uc = carry
+        l = lap_interior(uc)
+        interior = (2. * uc[pad:pad+N, pad:pad+N, pad:pad+N]
+                    - up[pad:pad+N, pad:pad+N, pad:pad+N]
+                    + m * l)
+        un = up.at[pad:pad+N, pad:pad+N, pad:pad+N].set(interior)
+        return (uc, un)
+    return jax.lax.fori_loop(0, nsteps, body, (u0, u1))
+
+
+def make_v3_step():
+    WIN = (TX + 2 * H, TY + 2 * H, ZA)
+
+    def kernel(uc_hbm, uprev, mref, out_ref, ubuf, sems):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        idx = i * NYT + j
+        total = NXT * NYT
+        slot = jax.lax.rem(idx, 2)
+        nslot = jax.lax.rem(idx + 1, 2)
+
+        def dma_for(tile_idx, s):
+            ti = tile_idx // NYT
+            tj = tile_idx - ti * NYT
+            return pltpu.make_async_copy(
+                uc_hbm.at[pl.ds(ti * TX, TX + 2 * H),
+                          pl.ds(tj * TY, TY + 2 * H), :],
+                ubuf.at[s], sems.at[s])
+
+        @pl.when(idx == 0)
+        def _():
+            dma_for(0, 0).start()
+
+        @pl.when(idx + 1 < total)
+        def _():
+            dma_for(idx + 1, nslot).start()
+
+        dma_for(idx, slot).wait()
+        uc = ubuf[slot]
+
+        zc = slice(pad, pad + N)
+        cy = slice(H, H + TY)
+        acc = None
+        for ii, w in enumerate(W):
+            k = ii - H
+            t1 = w * uc[H + k:H + k + TX, cy, zc]
+            acc = t1 if acc is None else acc + t1
+        for ii, w in enumerate(W):
+            k = ii - H
+            acc = acc + w * uc[H:H + TX, H + k:H + k + TY, zc]
+        for ii, w in enumerate(W):
+            k = ii - H
+            acc = acc + w * uc[H:H + TX, cy, pad + k:pad + k + N]
+        ucc = uc[H:H + TX, cy, zc]
+        val = 2. * ucc - uprev[...][:, :, zc] + mref[...][:, :, zc] * acc
+        out_ref[...] = jnp.pad(val, ((0, 0), (0, 0), (pad, ZA - N - pad)))
+
+    # center-only inputs and output live on the interior grid tiles: use
+    # element offsets via block index (interior offset pad must be a
+    # multiple of the block extent for exact mapping; instead we pass
+    # pre-sliced interior-aligned arrays from the caller)
+    def step(uc_pad, uprev_i, m_i):
+        return pl.pallas_call(
+            kernel,
+            grid=(NXT, NYT),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((TX, TY, ZA), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TX, TY, ZA), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((TX, TY, ZA), lambda i, j: (i, j, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((N, N, ZA), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((2,) + WIN, jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=INTERP,
+        )(uc_pad, uprev_i, m_i)
+    return step
+
+
+def make_run_E():
+    step = make_v3_step()
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def run_E(u0, u1, m_i, nsteps):
+        # u buffers: padded (NP, NP, ZA); interior views passed as
+        # interior-aligned (N, N, ZA) arrays for blocked specs
+        def body(i, carry):
+            up, uc = carry
+            up_i = jax.lax.slice(up, (pad, pad, 0), (pad + N, pad + N, ZA))
+            interior = step(uc, up_i, m_i)
+            un = up.at[pad:pad+N, pad:pad+N, :].set(interior)
+            return (uc, un)
+        return jax.lax.fori_loop(0, nsteps, body, (u0, u1))
+    return run_E
+
+
+def bench(mk):
+    fn, args = mk()
+    out = fn(*args)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    _ = float(np.asarray(jax.device_get(leaf[pad, pad, pad])))
+    fn, args = mk()
+    t0 = time.perf_counter()
+    out = fn(*args)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    _ = float(np.asarray(jax.device_get(leaf[pad, pad, pad])))
+    return time.perf_counter() - t0, out
+
+
+def main():
+    key = jax.random.PRNGKey(0)
+    u0 = jnp.zeros(shape, jnp.float32)
+    u0 = u0.at[pad:pad+N, pad:pad+N, pad:pad+N].set(
+        jax.random.normal(key, (N, N, N), jnp.float32) * 1e-3)
+    u1 = jnp.zeros(shape, jnp.float32)
+    m = jnp.full((N, N, N), 0.2, jnp.float32)
+    m_i = jnp.zeros((N, N, ZA), jnp.float32).at[:, :, pad:pad+N].set(m)
+
+    t, outA = bench(lambda: (run_A, (u0 + 0, u1 + 0, m, STEPS)))
+    print(f"A xla-DUS: {t*1e3:.1f} ms, {N**3*STEPS/t/1e9:.2f} GPts/s",
+          flush=True)
+
+    run_E = make_run_E()
+    t, outE = bench(lambda: (run_E, (u0 + 0, u1 + 0, m_i, STEPS)))
+    print(f"E v3 TX={TX} TY={TY}: {t*1e3:.1f} ms, "
+          f"{N**3*STEPS/t/1e9:.2f} GPts/s", flush=True)
+
+    a = np.asarray(outA[1])[pad:pad+N, pad:pad+N, pad:pad+N]
+    e = np.asarray(outE[1])[pad:pad+N, pad:pad+N, pad:pad+N]
+    print("E vs A interior err:", np.abs(a - e).max(), flush=True)
+
+
+if __name__ == '__main__':
+    main()
