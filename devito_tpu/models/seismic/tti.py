@@ -180,6 +180,63 @@ def TTIAdjointOperator(model, geometry, space_order=4, kernel='centered',
     return op
 
 
+def TTIJacobianOperator(model, geometry, space_order=4, **kwargs):
+    """Linearized Born in TTI media (reference: JacobianOperator,
+    tti/operators.py:517)."""
+    from ...types import Function
+    dt = model.grid.stepping_dim.spacing
+    m = model.m
+    src, rec = geometry.src, geometry.rec
+    u0 = TimeFunction(name='u0', grid=model.grid, time_order=2,
+                      space_order=space_order)
+    v0 = TimeFunction(name='v0', grid=model.grid, time_order=2,
+                      space_order=space_order)
+    du = TimeFunction(name='du', grid=model.grid, time_order=2,
+                      space_order=space_order)
+    dv = TimeFunction(name='dv', grid=model.grid, time_order=2,
+                      space_order=space_order)
+    dm = Function(name='dm', grid=model.grid, space_order=0)
+
+    eqn1 = kernel_centered(model, u0, v0)
+    eqn2 = kernel_centered(model, du, dv, qu=-dm * u0.dt2, qv=-dm * v0.dt2)
+    src_term = src.inject(field=(u0.forward, v0.forward),
+                          expr=src * dt ** 2 / m)
+    rec_term = rec.interpolate(expr=du + dv)
+    op = Operator(eqn1 + [src_term] + eqn2 + [rec_term],
+                  subs=model.spacing_map, name='BornTTI', **kwargs)
+    op._fields = (u0, v0, du, dv, dm)
+    return op
+
+
+def TTIJacobianAdjOperator(model, geometry, space_order=4, save=True,
+                           **kwargs):
+    """FWI gradient in TTI media (reference: JacobianAdjOperator,
+    tti/operators.py:573)."""
+    from ...types import Function, Inc
+    dt = model.grid.stepping_dim.spacing
+    m = model.m
+    save_t = geometry.nt if save else None
+    u0 = TimeFunction(name='u0', grid=model.grid, save=save_t,
+                      time_order=2, space_order=space_order)
+    v0 = TimeFunction(name='v0', grid=model.grid, save=save_t,
+                      time_order=2, space_order=space_order)
+    du = TimeFunction(name='du', grid=model.grid, time_order=2,
+                      space_order=space_order)
+    dv = TimeFunction(name='dv', grid=model.grid, time_order=2,
+                      space_order=space_order)
+    dm = Function(name='dm', grid=model.grid)
+    rec = geometry.rec
+
+    eqn = kernel_centered(model, du, dv, forward=False)
+    dm_update = Inc(dm, -(u0 * du.dt2 + v0 * dv.dt2))
+    rec_term = rec.inject(field=(du.backward, dv.backward),
+                          expr=rec * dt ** 2 / m)
+    op = Operator(eqn + [rec_term, dm_update], subs=model.spacing_map,
+                  name='GradientTTI', **kwargs)
+    op._fields = (u0, v0, du, dv, dm)
+    return op
+
+
 class AnisotropicWaveSolver:
     """Reference: tti/wavesolver.py AnisotropicWaveSolver."""
 
@@ -224,6 +281,51 @@ class AnisotropicWaveSolver:
         summary = op.apply(src=src, rec=rec, u=u, v=v,
                            dt=kwargs.pop('dt', self.dt), **kwargs)
         return rec, u, v, summary
+
+    @memoized_meth
+    def op_jac(self):
+        return TTIJacobianOperator(self.model, geometry=self.geometry,
+                                   space_order=self.space_order,
+                                   **self._kwargs)
+
+    @memoized_meth
+    def op_jacadj(self, save=True):
+        return TTIJacobianAdjOperator(self.model, geometry=self.geometry,
+                                      space_order=self.space_order,
+                                      save=save, **self._kwargs)
+
+    def jacobian(self, dmin, src=None, rec=None, model=None, **kwargs):
+        """Born modeling (reference: tti wavesolver.jacobian)."""
+        src = src if src is not None else self.geometry.src
+        rec = rec if rec is not None else self.geometry.rec
+        op = self.op_jac()
+        u0, v0, du, dv, dm0 = op._fields
+        from ...types import Function
+        dm = Function(name='dm', grid=self.model.grid, space_order=0)
+        dm.data[:] = np.asarray(dmin if not hasattr(dmin, 'data')
+                                else dmin.data)
+        model = model or self.model
+        kwargs.update(model.physical_params(**kwargs))
+        for f in (u0, v0, du, dv):
+            f.data[:] = 0
+        op.apply(src=src, rec=rec, dm=dm, dt=kwargs.pop('dt', self.dt),
+                 **kwargs)
+        return rec, u0, v0, du, dv
+
+    def jacobian_adjoint(self, rec, u0, v0, dm=None, model=None, **kwargs):
+        """TTI FWI gradient (reference: tti wavesolver.jacobian_adjoint)."""
+        from ...types import Function
+        op = self.op_jacadj(True)
+        dm = dm or Function(name='dm', grid=self.model.grid)
+        du = TimeFunction(name='du', grid=self.model.grid, time_order=2,
+                          space_order=self.space_order)
+        dv = TimeFunction(name='dv', grid=self.model.grid, time_order=2,
+                          space_order=self.space_order)
+        model = model or self.model
+        kwargs.update(model.physical_params(**kwargs))
+        op.apply(rec=rec, u0=u0, v0=v0, du=du, dv=dv, dm=dm,
+                 dt=kwargs.pop('dt', self.dt), **kwargs)
+        return dm, None
 
     def adjoint(self, rec, srca=None, p=None, r=None, model=None, **kwargs):
         op = self.op_adj()

@@ -111,3 +111,45 @@ class TestAdjointTTI:
         # the wavefield vanishes on the free surface
         u = solver.forward(save=False)[1]
         assert np.abs(np.asarray(u.data)[:, :, 0]).max() == 0.0
+
+
+class TestAdjointJ:
+    """<J dm, y> == <dm, J' y> (reference: test_adjoint_J, atol 1e-12)."""
+
+    def test_adjoint_J_acoustic(self):
+        from devito_tpu.models.seismic import demo_model
+        shape, so = (40, 45), 4
+        solver = acoustic_setup(shape=shape, spacing=[10.] * 2,
+                                nbl=12, tn=250., space_order=so,
+                                preset='layers-isotropic',
+                                dtype=np.float64, vp_bottom=2)
+        model0 = demo_model('layers-isotropic', vp_top=1.5, vp_bottom=1.5,
+                            spacing=(10., 10.), space_order=so, shape=shape,
+                            nbl=12, dtype=np.float64,
+                            grid=solver.model.grid)
+        dm = (np.asarray(solver.model.vp.data) ** -2
+              - np.asarray(model0.vp.data) ** -2)
+        from devito_tpu import Function
+        dmf = Function(name='dmf', grid=solver.model.grid, space_order=0)
+        dmf.data[:] = dm
+        du = solver.jacobian(dmf, model=model0)[0]
+        u0 = solver.forward(save=True, model=model0)[1]
+        im, _ = solver.jacobian_adjoint(du, u0, model=model0)
+        term1 = float(np.dot(np.asarray(im.data).ravel(), dm.ravel()))
+        term2 = norm(du) ** 2
+        assert np.isclose((term1 - term2) / term1, 0., atol=1e-12), \
+            (term1, term2)
+
+    def test_adjoint_J_tti(self):
+        from devito_tpu.models.seismic.tti import tti_setup
+        solver = tti_setup(shape=(25, 30), spacing=(10., 10.), tn=250.,
+                           space_order=4, nbl=12, dtype=np.float64)
+        vp = np.asarray(solver.model.vp.data)
+        dm = (vp ** -2) - (np.full_like(vp, 1.5) ** -2)
+        rec_lin = solver.jacobian(dm)[0]
+        term2 = norm(rec_lin) ** 2
+        rec, u0, v0, _ = solver.forward(save=True)
+        im, _ = solver.jacobian_adjoint(rec_lin, u0, v0)
+        term1 = float(np.dot(np.asarray(im.data).ravel(), dm.ravel()))
+        assert np.isclose((term1 - term2) / term1, 0., atol=1e-12), \
+            (term1, term2)
