@@ -197,16 +197,19 @@ def _sparse_geometry(sf, bufs, params):
 
     per_dim = []
     valid = None
-    if getattr(interp, 'name', '') == 'precomputed':
+    if getattr(interp, 'name', '') in ('precomputed', 'matrix'):
         # gridpoints + coefficient tables supplied by the user
-        # (reference: PrecomputedInterpolator, operations/interpolators.py:555)
+        # (reference: PrecomputedInterpolator:555 / MatrixSparseTimeFunction)
         r = interp.r
         for j, d in enumerate(dims):
             n = grid.shape[j]
             offsets, coeffs, gp = interp.dim_weights_precomputed(j)
-            # sample points are gridpoint + (i - r + 1), i in [0, 2r)
-            # (reference sinc/precomputed convention)
-            offsets = [i - r + 1 for i in range(coeffs.shape[1])]
+            if interp.name == 'precomputed':
+                # sample points are gridpoint + (i - r + 1), i in [0, 2r)
+                # (reference sinc/precomputed convention)
+                offsets = [i - r + 1 for i in range(coeffs.shape[1])]
+            # matrix convention: gridpoint is the MINIMUM index,
+            # offsets 0..r-1 (reference docstring)
             wlist = [coeffs[:, i] for i in range(coeffs.shape[1])]
             v = (gp >= 0) & (gp <= n - 1)
             valid = v if valid is None else (valid & v)
@@ -252,6 +255,7 @@ def _exec_sparse(item, bufs, params, t, geom_cache, direction):
     ctx = SparseCtx(bufs, params, corner_idx, W, sf, t=t,
                     direction=direction)
     val = translate(item.expr, ctx)  # (C, P) or (P,) or scalar
+    matrix = getattr(type(sf), '_matrix', None)
 
     out = dict(bufs)
     if item.kind == 'interp':
@@ -259,6 +263,9 @@ def _exec_sparse(item, bufs, params, t, geom_cache, direction):
             res = jnp.sum(W * val, axis=0)
         else:
             res = jnp.sum(W, axis=0) * val
+        if matrix is not None:
+            # channels = M^T @ per-location values
+            res = jnp.asarray(matrix).T @ res
         buf = bufs[sf.name]
         res = jnp.broadcast_to(res, buf.shape[-1:]).astype(buf.dtype)
         if sf.is_SparseTimeFunction:
@@ -276,6 +283,10 @@ def _exec_sparse(item, bufs, params, t, geom_cache, direction):
         sidx = tuple(corner_idx[d.name] + hl
                      for d, (hl, hr) in zip(field.space_dimensions,
                                             field.halo))
+        if matrix is not None:
+            # per-location values = M @ channel values
+            val = jnp.asarray(matrix) @ jnp.broadcast_to(
+                val, (matrix.shape[1],))
         if item.field_time_kind == 'stepping':
             slots = list(bufs[field.name])
             pos = StepContextMixin.slot_pos(item.field_time_off or 0,

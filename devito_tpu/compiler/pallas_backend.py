@@ -26,7 +26,8 @@ from ..logger import debug
 __all__ = ['PallasPlan', 'plan_for', 'execute_plan']
 
 # VMEM budget for input windows (bytes); leave room for output + pipeline
-_VMEM_BUDGET = 10 * 1024 * 1024
+# (empirically ~100 MB of scratch compiles on the v5e target)
+_VMEM_BUDGET = 48 * 1024 * 1024
 
 # Autotuner override: (t0,) for 2D or (t0, t1) for 3D; None = defaults
 # (reference analog: the block-shape search in core/autotuning.py)
@@ -56,16 +57,28 @@ def validate_backend(interpret=False):
 
         H, T, NZ, ZP = 2, 4, 16, 128
 
-        def kernel(src, out_ref, scratch, sem):
+        def kernel(src, out_ref, scratch, sems):
             i = pl.program_id(0)
-            cp = pltpu.make_async_copy(
-                src.at[pl.ds(i * T, T + 2 * H),
-                       pl.ds(0, T + 2 * H), :],
-                scratch, sem)
-            cp.start()
-            cp.wait()
-            val = (scratch[H:-H, H:-H, H:H + NZ]
-                   + scratch[H + 1:H + 1 + T, H:-H,
+            slot = jax.lax.rem(i, np.int32(2))
+            nslot = jax.lax.rem(i + np.int32(1), np.int32(2))
+
+            def dma_for(ti, s):
+                return pltpu.make_async_copy(
+                    src.at[pl.ds(ti * T, T + 2 * H),
+                           pl.ds(0, T + 2 * H), :],
+                    scratch.at[s], sems.at[s])
+
+            @pl.when(i == 0)
+            def _():
+                dma_for(0, 0).start()
+
+            @pl.when(i + 1 < 2)
+            def _():
+                dma_for(i + 1, nslot).start()
+
+            dma_for(i, slot).wait()
+            val = (scratch[slot, H:-H, H:-H, H:H + NZ]
+                   + scratch[slot, H + 1:H + 1 + T, H:-H,
                              H + 1:H + 1 + NZ])
             out_ref[...] = jnp.pad(val, ((0, 0), (0, 0), (0, ZP - NZ)))
 
@@ -78,8 +91,8 @@ def validate_backend(interpret=False):
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((2 * T, T, ZP), jnp.float32),
             scratch_shapes=[
-                pltpu.VMEM((T + 2 * H, T + 2 * H, ZP), jnp.float32),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((2, T + 2 * H, T + 2 * H, ZP), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
             interpret=interpret,
         )(x)
@@ -138,6 +151,10 @@ def plan_for(eq, stepping_info):
         g = groups.setdefault(key, {'fn': f, 'tk': tk, 'toff': toff,
                                     'offsets': set()})
         g['offsets'].add(space_offsets_of(a))
+    for g in groups.values():
+        nd = len(next(iter(g['offsets'])))
+        g['margins'] = tuple(
+            max(abs(off[j]) for off in g['offsets']) for j in range(nd))
 
     # symbols used outside function accesses (dims there are just indices)
     params = []
@@ -163,12 +180,12 @@ def plan_for(eq, stepping_info):
     ov = _tile_override
     if ndim == 3:
         n0, n1, n2 = region_shape
-        pref0 = (ov[0],) if ov else (8, 16, 4, 2, 1)
+        pref0 = (ov[0],) if ov else (16, 8, 32, 4, 2, 1)
         pref1 = (ov[1],) if ov and len(ov) > 1 else \
-            (128, 64, 32, 16, 8, 4, 2, 1)
-        t0 = _pick_tile(n0, pref0) or _pick_tile(n0, (8, 16, 4, 2, 1))
+            (32, 64, 128, 16, 8, 4, 2, 1)
+        t0 = _pick_tile(n0, pref0) or _pick_tile(n0, (16, 8, 32, 4, 2, 1))
         t1 = _pick_tile(n1, pref1) or _pick_tile(
-            n1, (128, 64, 32, 16, 8, 4, 2, 1))
+            n1, (32, 64, 128, 16, 8, 4, 2, 1))
         if t0 is None or t1 is None:
             return None
         tiles = (t0, t1, n2)
@@ -187,11 +204,10 @@ def plan_for(eq, stepping_info):
     total = 0
     for g in groups.values():
         f = g['fn']
-        halo = f.halo
-        win = 1
+        win = 2  # double-buffered
         for j in range(ndim - 1):
-            hl, hr = halo[j]
-            win *= tiles[j] + hl + hr
+            m = g['margins'][j]
+            win *= tiles[j] + 2 * m
         win *= f.shape_allocated[-1]
         total += win * itemsize
     if total > _VMEM_BUDGET:
@@ -202,13 +218,15 @@ def plan_for(eq, stepping_info):
                       sorted(set(params)), np.dtype(fn.dtype))
 
 
-class _TileCtx:
-    """Translator context inside the Pallas kernel: accesses -> static
-    slices of the DMA'd VMEM windows."""
+class _TileCtxV2:
+    """Translator context for the pipelined kernel: every access group is a
+    DMA'd window (2-slot scratch, indexed by the live slot) sized by the
+    group's stencil margins; z indices are absolute in the lane-aligned
+    allocation (the window carries the full z extent)."""
 
     def __init__(self, plan, refs, param_refs, region):
         self.plan = plan
-        self.refs = refs              # {(name, tk, toff): scratch ref}
+        self.refs = refs              # {(name, tk, toff): (scratch, slot, g)}
         self.param_refs = param_refs  # {name: smem ref}
         self.region = region
 
@@ -222,29 +240,31 @@ class _TileCtx:
     def access(self, e):
         f = e.function
         tk, toff = time_access_of(e)
-        ref = self.refs[(f.name, tk, toff)]
+        ref, slot, g = self.refs[(f.name, tk, toff)]
         offs = space_offsets_of(e)
         tiles = self.plan.tiles
         ndim = len(offs)
-        sl = []
-        for j, (off, (hl, hr)) in enumerate(zip(offs, f.halo)):
-            ext = tiles[j]
-            if j == ndim - 1:
-                # z window is the full (aligned) allocation: absolute index
-                s = hl + self.region[j][0] + off
-            else:
-                s = hl + off
-            sl.append(slice(s, s + ext))
-        return ref[tuple(sl)]
+        idx = [slot]
+        for j in range(ndim - 1):
+            # window rows start m short of the tile's first output row
+            s = g['margins'][j] + offs[j]
+            idx.append(slice(s, s + tiles[j]))
+        hlz, _ = f.halo[-1]
+        sz = hlz + self.region[-1][0] + offs[-1]
+        idx.append(slice(sz, sz + tiles[-1]))
+        return ref[tuple(idx)]
 
 
 def execute_plan(plan, resolved, params, interpret):
     """Run the plan: ``resolved`` maps group index -> padded (time-resolved)
     jax array; returns the region-shaped result.
 
-    Mosaic constraint honored here: HBM DMA windows must be 128-aligned in
-    the last dim, so the z window is the function's full (lane-aligned)
-    allocation and the output block is zero-padded to a lane multiple.
+    Kernel structure (validated on v5e hardware): every input group gets a
+    (t0+2m0, t1+2m1, ZA) window sized by its actual stencil margins, DMA'd
+    HBM->VMEM with cross-tile double buffering (tile i+1 prefetched during
+    tile i's compute); z is the full lane-aligned allocation (Mosaic
+    requires 128-aligned HBM windows); output blocks are zero-padded to a
+    lane multiple.
     """
     import jax
     import jax.numpy as jnp
@@ -258,77 +278,100 @@ def execute_plan(plan, resolved, params, interpret):
     region_start = tuple(a for a, b in eq.region)
     region_shape = tuple(b - a for a, b in eq.region)
     tiles = plan.tiles
-    ngroups = len(plan.groups)
     nparams = len(plan.param_names)
+    ngroups = len(plan.groups)
     nz = region_shape[-1]
     zp_out = round_up(nz, 128)
+    grid_nd = len(plan.grid_shape)
+    ntiles_total = int(np.prod(plan.grid_shape))
 
     def kernel(*args):
-        # args: [param_smem...] + [hbm inputs...] + out_ref + scratch
         param_refs = {n: args[i] for i, n in enumerate(plan.param_names)}
         ins = args[nparams:nparams + ngroups]
         out_ref = args[nparams + ngroups]
-        scratch = args[nparams + ngroups + 1:nparams + 2 * ngroups + 1]
+        scratch = args[nparams + ngroups + 1:
+                       nparams + ngroups + 1 + ngroups]
         sems = args[-1]
 
-        pids = [pl.program_id(d) for d in range(len(plan.grid_shape))]
+        pids = [pl.program_id(d) for d in range(grid_nd)]
+        if grid_nd == 2:
+            lin = pids[0] * plan.grid_shape[1] + pids[1]
+        else:
+            lin = pids[0]
+        two = np.int32(2)
+        slot = jax.lax.rem(lin, two)
+        nslot = jax.lax.rem(lin + np.int32(1), two)
 
-        copies = []
-        for gi, g in enumerate(plan.groups):
+        def tile_coords(tidx):
+            if grid_nd == 2:
+                ti = tidx // plan.grid_shape[1]
+                tj = tidx - ti * plan.grid_shape[1]
+                return (ti, tj)
+            return (tidx,)
+
+        def dma_for(gi, g, tidx, s):
             f = g['fn']
-            halo = f.halo
+            coords = tile_coords(tidx)
             idx = []
             for j in range(ndim - 1):
-                hl, hr = halo[j]
-                base = region_start[j]
-                if j < len(plan.grid_shape):
-                    start = base + pids[j] * tiles[j]
-                else:
-                    start = base
-                ext = tiles[j] + hl + hr
-                # window start in padded coords: halo+start-halo = start
-                idx.append(pl.ds(start, ext))
-            idx.append(slice(None))  # full aligned z window
-            cp = pltpu.make_async_copy(ins[gi].at[tuple(idx)], scratch[gi],
-                                       sems.at[gi])
-            cp.start()
-            copies.append(cp)
-        for cp in copies:
-            cp.wait()
+                hl, hr = f.halo[j]
+                m = g['margins'][j]
+                start = (hl + region_start[j] - m
+                         + (coords[j] * tiles[j] if j < grid_nd else 0))
+                idx.append(pl.ds(start, tiles[j] + 2 * m))
+            idx.append(slice(None))
+            return pltpu.make_async_copy(
+                ins[gi].at[tuple(idx)], scratch[gi].at[s],
+                sems.at[2 * gi + s])
+
+        @pl.when(lin == 0)
+        def _():
+            for gi, g in enumerate(plan.groups):
+                dma_for(gi, g, 0, 0).start()
+
+        @pl.when(lin + 1 < ntiles_total)
+        def _():
+            for gi, g in enumerate(plan.groups):
+                dma_for(gi, g, lin + 1, nslot).start()
+
+        for gi, g in enumerate(plan.groups):
+            dma_for(gi, g, lin, slot).wait()
 
         refs = {}
         for gi, g in enumerate(plan.groups):
-            refs[(g['fn'].name, g['tk'], g['toff'])] = scratch[gi]
-        ctx = _TileCtx(plan, refs, param_refs, eq.region)
+            refs[(g['fn'].name, g['tk'], g['toff'])] = \
+                (scratch[gi], slot, g)
+        ctx = _TileCtxV2(plan, refs, param_refs, eq.region)
         val = translate(eq.rhs, ctx)
         val = jnp.broadcast_to(val, tiles).astype(plan.dtype)
         if zp_out != nz:
-            pad = [(0, 0)] * (ndim - 1) + [(0, zp_out - nz)]
-            val = jnp.pad(val, pad)
+            padw = [(0, 0)] * (ndim - 1) + [(0, zp_out - nz)]
+            val = jnp.pad(val, padw)
         out_ref[...] = val
 
-    # build specs
     in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] * nparams +
                 [pl.BlockSpec(memory_space=pl.ANY)] * ngroups)
+
     if ndim == 3:
         out_spec = pl.BlockSpec(
             (tiles[0], tiles[1], zp_out),
-            lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+            (lambda i, j: (i, j, 0)) if grid_nd == 2 else
+            (lambda i: (i, 0, 0)),
+            memory_space=pltpu.VMEM)
     else:
-        out_spec = pl.BlockSpec(
-            (tiles[0], zp_out),
-            lambda i: (i, 0), memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((tiles[0], zp_out), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
 
     scratch_shapes = []
     for g in plan.groups:
         f = g['fn']
-        shp = []
+        shp = [2]
         for j in range(ndim - 1):
-            hl, hr = f.halo[j]
-            shp.append(tiles[j] + hl + hr)
+            m = g['margins'][j]
+            shp.append(tiles[j] + 2 * m)
         shp.append(f.shape_allocated[-1])
         scratch_shapes.append(pltpu.VMEM(tuple(shp), plan.dtype))
-    scratch_shapes.append(pltpu.SemaphoreType.DMA((ngroups,)))
+    scratch_shapes.append(pltpu.SemaphoreType.DMA((2 * ngroups,)))
 
     param_args = [jnp.asarray([params[n]], dtype=plan.dtype)
                   for n in plan.param_names]

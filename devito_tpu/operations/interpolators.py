@@ -157,6 +157,33 @@ class SincInterpolator:
         return (2 * self.r) ** ndim
 
 
+class MatrixInterpolator:
+    """Geometry from explicit gridpoints + per-dim coefficient tables of a
+    MatrixSparseTimeFunction (reference: types/sparse.py:1399)."""
+
+    name = 'matrix'
+
+    def __init__(self, sfunction):
+        self.sf = sfunction
+        self.r = type(sfunction)._r_points
+
+    @property
+    def max_radius(self):
+        return self.r
+
+    def dim_weights_precomputed(self, j):
+        import jax.numpy as jnp
+        d = self.sf.grid.dimensions[j]
+        gp = jnp.asarray(self.sf.gridpoints[:, j])
+        coeffs = jnp.asarray(
+            np.asarray(self.sf.interpolation_coefficients[d]))
+        offsets = list(range(coeffs.shape[1]))
+        return offsets, coeffs, gp
+
+    def ncorners(self, ndim):
+        return self.r ** ndim
+
+
 class PrecomputedInterpolator:
     """User-supplied gridpoints + per-dim coefficient tables (reference:
     PrecomputedInterpolator:555)."""

@@ -230,3 +230,66 @@ class PrecomputedSparseFunction(AbstractSparseFunction):
 class PrecomputedSparseTimeFunction(PrecomputedSparseFunction,
                                     SparseTimeFunction):
     pass
+
+
+class MatrixSparseTimeFunction(SparseTimeFunction):
+    """Externally-defined interpolation with matrix-coupled data channels
+    (reference: types/sparse.py:1399 — nloc locations with explicit
+    gridpoints + per-dim coefficients; a (nloc x npoint) matrix couples the
+    npoint data channels to the physical locations, supporting dipole-like
+    multi-location sources without duplicating sample data).
+
+    ``matrix``: scipy.sparse or ndarray, shape (nloc, npoint);
+    ``gridpoints``: (nloc, ndim) minimum indices; per-dim coefficients via
+    ``interpolation_coefficients[dim]`` arrays of shape (nloc, r).
+    """
+
+    @classmethod
+    def __init_metadata__(cls, matrix=None, r=2, gridpoints=None,
+                          interpolation_coeffs=None, **kwargs):
+        if hasattr(matrix, 'toarray'):
+            matrix = matrix.toarray()
+        cls._matrix = np.asarray(matrix) if matrix is not None else None
+        cls._r_points = r
+        cls._gridpoints = None if gridpoints is None else \
+            np.asarray(gridpoints, dtype=np.int32)
+        cls._interp_coeffs = interpolation_coeffs
+        super().__init_metadata__(r=r, **kwargs)
+
+    @property
+    def matrix(self):
+        return type(self)._matrix
+
+    @property
+    def nloc(self):
+        return type(self)._matrix.shape[0]
+
+    @property
+    def gridpoints(self):
+        return type(self)._gridpoints
+
+    @gridpoints.setter
+    def gridpoints(self, value):
+        type(self)._gridpoints = np.asarray(value, dtype=np.int32)
+
+    @property
+    def interpolation_coefficients(self):
+        cls = type(self)
+        if cls._interp_coeffs is None:
+            nd = self.grid.dim
+            cls._interp_coeffs = {
+                d: np.zeros((self.nloc, cls._r_points),
+                            dtype=self.dtype)
+                for d in self.grid.dimensions}
+        return cls._interp_coeffs
+
+    @property
+    def interpolator(self):
+        from ..operations.interpolators import MatrixInterpolator
+        return MatrixInterpolator(self)
+
+    def manual_scatter(self, *args, **kwargs):
+        """API parity no-op: data lives globally (GSPMD replication)."""
+
+    def manual_gather(self, *args, **kwargs):
+        """API parity no-op."""

@@ -108,7 +108,10 @@ def make_v3_step():
             acc = acc + w * uc[H:H + TX, cy, pad + k:pad + k + N]
         ucc = uc[H:H + TX, cy, zc]
         val = 2. * ucc - uprev[...][:, :, zc] + mref[...][:, :, zc] * acc
-        out_ref[...] = jnp.pad(val, ((0, 0), (0, 0), (pad, ZA - N - pad)))
+        out_ref[:, :, 0:pad] = jnp.zeros((TX, TY, pad), jnp.float32)
+        out_ref[:, :, pad:pad + N] = val
+        out_ref[:, :, pad + N:] = jnp.zeros((TX, TY, ZA - N - pad),
+                                            jnp.float32)
 
     # center-only inputs and output live on the interior grid tiles: use
     # element offsets via block index (interior offset pad must be a
