@@ -21,9 +21,13 @@ from .types import (Grid, SubDomain, SubDomainSet, Dimension, SpaceDimension,  #
                     dimensions, NODE, CELL)
 from .types.sparse import (SparseFunction, SparseTimeFunction,  # noqa
                            PrecomputedSparseFunction,
-                           PrecomputedSparseTimeFunction)
+                           PrecomputedSparseTimeFunction,
+                           MatrixSparseTimeFunction)
+from .types.tensor import (TensorFunction, VectorFunction,  # noqa
+                           TensorTimeFunction, VectorTimeFunction)
 from .finite_differences import (Derivative, Differentiable)  # noqa
-from .finite_differences.operators import (div, grad, curl, laplace, diag)  # noqa
+from .finite_differences.operators import (div, grad, curl, laplace, diag,  # noqa
+                                            div45, grad45, curl45)  # noqa
 from .finite_differences.elementary import (sin, cos, tan, sqrt, exp, log,  # noqa
                                             Abs, Min, Max, floor, ceiling,
                                             sign)

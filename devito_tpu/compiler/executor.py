@@ -85,6 +85,26 @@ def _use_pallas():
     return pb.validate_backend(), False
 
 
+def _target_prev(eq, bufs, t, direction):
+    """Current (pre-update) content of the buffer slot ``eq`` writes."""
+    import jax
+    name = eq.target.name
+    tk = eq.time_kind
+    if tk == 'stepping':
+        slots = bufs[name]
+        pos = StepContextMixin.slot_pos(eq.time_off, len(slots), direction)
+        return slots[pos]
+    buf = bufs[name]
+    if tk == 'save':
+        return jax.lax.dynamic_index_in_dim(buf, t + eq.time_off, 0,
+                                            keepdims=False)
+    if tk == 'cond':
+        factor = eq.cond_factor or 1
+        return jax.lax.dynamic_index_in_dim(buf, t // factor + eq.time_off,
+                                            0, keepdims=False)
+    return buf
+
+
 def _exec_dense(eq, bufs, params, t, direction):
     import jax
     import jax.numpy as jnp
@@ -96,6 +116,7 @@ def _exec_dense(eq, bufs, params, t, direction):
 
     use, interpret = _use_pallas()
     val = None
+    val_fullz = False
     if use and t is not None:
         from . import pallas_backend as pb
         plan = eq.__dict__.get('_pallas_plan', '?')
@@ -107,7 +128,16 @@ def _exec_dense(eq, bufs, params, t, direction):
                 _resolve_time_indexed(bufs, g['fn'], g['tk'], g['toff'], t,
                                       direction)
                 for g in plan.groups]
-            val = pb.execute_plan(plan, resolved, params, interpret)
+            tp = None
+            if plan.fullz:
+                # pre-update content of the slot being written: lets the
+                # kernel emit complete lane rows so the DUS below is
+                # lane-aligned (a z-offset DUS costs a cross-lane rotation
+                # of the whole buffer)
+                tp = _target_prev(eq, bufs, t, direction)
+            val = pb.execute_plan(plan, resolved, params, interpret,
+                                  target_prev=tp)
+            val_fullz = plan.fullz and tp is not None
 
     if val is None:
         ctx = DenseCtx(bufs, params, _region_map(eq), t=t,
@@ -118,6 +148,9 @@ def _exec_dense(eq, bufs, params, t, direction):
                        direction=direction)
 
     slices = _write_region_slices(eq)
+    if val_fullz:
+        # kernel output carries full lane rows (halo lanes passed through)
+        slices = slices[:-1] + (slice(0, eq.target.shape_allocated[-1]),)
     region_shape = tuple(s.stop - s.start for s in slices)
 
     tk = eq.time_kind

@@ -114,13 +114,21 @@ def _pick_tile(n, prefer):
 class PallasPlan:
     """Compiled tiling plan for one dense eq."""
 
-    def __init__(self, eq, grid_shape, tiles, groups, param_names, dtype):
+    def __init__(self, eq, grid_shape, tiles, groups, param_names, dtype,
+                 fullz=False, target_zalloc=None, target_hlz=0):
         self.eq = eq
         self.grid_shape = grid_shape      # pallas grid (tiles per dim)
         self.tiles = tiles                # tile extents per tiled dim
         self.groups = groups              # list of access-group descriptors
         self.param_names = param_names
         self.dtype = dtype
+        # full-z output mode: the kernel emits complete lane rows (halo
+        # lanes copied from the target's pre-update slot) so the executor's
+        # write-back is a lane-aligned dynamic-update-slice; a z-offset DUS
+        # costs a full cross-lane rotation of the buffer per step otherwise
+        self.fullz = fullz
+        self.target_zalloc = target_zalloc
+        self.target_hlz = target_hlz
 
     @property
     def ok(self):
@@ -210,12 +218,20 @@ def plan_for(eq, stepping_info):
             win *= tiles[j] + 2 * m
         win *= f.shape_allocated[-1]
         total += win * itemsize
-    if total > _VMEM_BUDGET:
+    # full-z output mode needs a (2, t0[, t1], ZT) window of the target's
+    # pre-update slot on top of the input windows
+    zt = fn.shape_allocated[-1]
+    tp_win = 2 * zt * itemsize
+    for j in range(ndim - 1):
+        tp_win *= tiles[j]
+    if total + tp_win > _VMEM_BUDGET:
         debug(f"pallas: VMEM budget exceeded ({total} B), falling back")
         return None
 
     return PallasPlan(eq, grid_shape, tiles, list(groups.values()),
-                      sorted(set(params)), np.dtype(fn.dtype))
+                      sorted(set(params)), np.dtype(fn.dtype),
+                      fullz=True, target_zalloc=zt,
+                      target_hlz=fn.halo[-1][0])
 
 
 class _TileCtxV2:
@@ -255,16 +271,23 @@ class _TileCtxV2:
         return ref[tuple(idx)]
 
 
-def execute_plan(plan, resolved, params, interpret):
+def execute_plan(plan, resolved, params, interpret, target_prev=None):
     """Run the plan: ``resolved`` maps group index -> padded (time-resolved)
-    jax array; returns the region-shaped result.
+    jax array; returns the output tile block.
 
     Kernel structure (validated on v5e hardware): every input group gets a
     (t0+2m0, t1+2m1, ZA) window sized by its actual stencil margins, DMA'd
     HBM->VMEM with cross-tile double buffering (tile i+1 prefetched during
     tile i's compute); z is the full lane-aligned allocation (Mosaic
-    requires 128-aligned HBM windows); output blocks are zero-padded to a
-    lane multiple.
+    requires 128-aligned HBM windows).
+
+    With ``plan.fullz`` (and ``target_prev``, the target buffer's
+    pre-update content), the kernel emits complete lane rows -- region
+    lanes carry the new value, halo lanes are copied through from
+    ``target_prev`` -- so the caller's write-back is a lane-aligned DUS
+    (shape ``region[:-1] + (target_zalloc,)``). Otherwise the output is
+    region-shaped with the z block zero-padded to a lane multiple and
+    trimmed here.
     """
     import jax
     import jax.numpy as jnp
@@ -281,16 +304,22 @@ def execute_plan(plan, resolved, params, interpret):
     nparams = len(plan.param_names)
     ngroups = len(plan.groups)
     nz = region_shape[-1]
-    zp_out = round_up(nz, 128)
+    fullz = plan.fullz and target_prev is not None
+    if fullz:
+        zp_out = plan.target_zalloc
+        zlo = plan.target_hlz + region_start[-1]
+    else:
+        zp_out = round_up(nz, 128)
+        zlo = 0
+    nwin = ngroups + (1 if fullz else 0)
     grid_nd = len(plan.grid_shape)
     ntiles_total = int(np.prod(plan.grid_shape))
 
     def kernel(*args):
         param_refs = {n: args[i] for i, n in enumerate(plan.param_names)}
-        ins = args[nparams:nparams + ngroups]
-        out_ref = args[nparams + ngroups]
-        scratch = args[nparams + ngroups + 1:
-                       nparams + ngroups + 1 + ngroups]
+        ins = args[nparams:nparams + nwin]
+        out_ref = args[nparams + nwin]
+        scratch = args[nparams + nwin + 1:nparams + nwin + 1 + nwin]
         sems = args[-1]
 
         pids = [pl.program_id(d) for d in range(grid_nd)]
@@ -309,33 +338,39 @@ def execute_plan(plan, resolved, params, interpret):
                 return (ti, tj)
             return (tidx,)
 
-        def dma_for(gi, g, tidx, s):
-            f = g['fn']
+        def dma_for(wi, f, margins, tidx, s):
             coords = tile_coords(tidx)
             idx = []
             for j in range(ndim - 1):
                 hl, hr = f.halo[j]
-                m = g['margins'][j]
+                m = margins[j]
                 start = (hl + region_start[j] - m
                          + (coords[j] * tiles[j] if j < grid_nd else 0))
                 idx.append(pl.ds(start, tiles[j] + 2 * m))
             idx.append(slice(None))
             return pltpu.make_async_copy(
-                ins[gi].at[tuple(idx)], scratch[gi].at[s],
-                sems.at[2 * gi + s])
+                ins[wi].at[tuple(idx)], scratch[wi].at[s],
+                sems.at[2 * wi + s])
+
+        def all_dmas(tidx, s):
+            for gi, g in enumerate(plan.groups):
+                dma_for(gi, g['fn'], g['margins'], tidx, s).start()
+            if fullz:
+                dma_for(ngroups, eq.target, (0,) * (ndim - 1),
+                        tidx, s).start()
 
         @pl.when(lin == 0)
         def _():
-            for gi, g in enumerate(plan.groups):
-                dma_for(gi, g, 0, 0).start()
+            all_dmas(0, 0)
 
         @pl.when(lin + 1 < ntiles_total)
         def _():
-            for gi, g in enumerate(plan.groups):
-                dma_for(gi, g, lin + 1, nslot).start()
+            all_dmas(lin + 1, nslot)
 
         for gi, g in enumerate(plan.groups):
-            dma_for(gi, g, lin, slot).wait()
+            dma_for(gi, g['fn'], g['margins'], lin, slot).wait()
+        if fullz:
+            dma_for(ngroups, eq.target, (0,) * (ndim - 1), lin, slot).wait()
 
         refs = {}
         for gi, g in enumerate(plan.groups):
@@ -344,13 +379,24 @@ def execute_plan(plan, resolved, params, interpret):
         ctx = _TileCtxV2(plan, refs, param_refs, eq.region)
         val = translate(eq.rhs, ctx)
         val = jnp.broadcast_to(val, tiles).astype(plan.dtype)
-        if zp_out != nz:
-            padw = [(0, 0)] * (ndim - 1) + [(0, zp_out - nz)]
-            val = jnp.pad(val, padw)
-        out_ref[...] = val
+        if fullz:
+            # complete lane rows: halo lanes pass through the pre-update
+            # content (static slice stores; Mosaic handles these where
+            # traced starts / left-pads fail)
+            tp = scratch[ngroups][slot]
+            if zlo > 0:
+                out_ref[..., 0:zlo] = tp[..., 0:zlo]
+            out_ref[..., zlo:zlo + nz] = val
+            if zlo + nz < zp_out:
+                out_ref[..., zlo + nz:zp_out] = tp[..., zlo + nz:zp_out]
+        else:
+            if zp_out != nz:
+                padw = [(0, 0)] * (ndim - 1) + [(0, zp_out - nz)]
+                val = jnp.pad(val, padw)
+            out_ref[...] = val
 
     in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] * nparams +
-                [pl.BlockSpec(memory_space=pl.ANY)] * ngroups)
+                [pl.BlockSpec(memory_space=pl.ANY)] * nwin)
 
     if ndim == 3:
         out_spec = pl.BlockSpec(
@@ -371,7 +417,10 @@ def execute_plan(plan, resolved, params, interpret):
             shp.append(tiles[j] + 2 * m)
         shp.append(f.shape_allocated[-1])
         scratch_shapes.append(pltpu.VMEM(tuple(shp), plan.dtype))
-    scratch_shapes.append(pltpu.SemaphoreType.DMA((2 * ngroups,)))
+    if fullz:
+        scratch_shapes.append(pltpu.VMEM(
+            (2,) + tuple(tiles[:-1]) + (zp_out,), plan.dtype))
+    scratch_shapes.append(pltpu.SemaphoreType.DMA((2 * nwin,)))
 
     param_args = [jnp.asarray([params[n]], dtype=plan.dtype)
                   for n in plan.param_names]
@@ -385,7 +434,8 @@ def execute_plan(plan, resolved, params, interpret):
         scratch_shapes=scratch_shapes,
         interpret=interpret,
     )
-    out = call(*param_args, *resolved)
-    if zp_out != nz:
+    ins = list(resolved) + ([target_prev] if fullz else [])
+    out = call(*param_args, *ins)
+    if not fullz and zp_out != nz:
         out = out[..., :nz]
     return out

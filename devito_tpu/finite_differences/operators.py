@@ -10,7 +10,8 @@ import sympy
 from .derivative import Derivative
 from .differentiable import Add, Differentiable
 
-__all__ = ['div', 'grad', 'curl', 'laplace', 'diag']
+__all__ = ['div', 'grad', 'curl', 'laplace', 'diag', 'div45', 'grad45',
+           'curl45']
 
 
 def _space_dims(expr):
@@ -93,3 +94,18 @@ def diag(expr, size=None):
     n = len(dims)
     mat = [[expr if i == j else 0 for j in range(n)] for i in range(n)]
     return tensor_from_components(mat, dims)
+
+
+def div45(expr, shift=None, order=None):
+    """Divergence via RSFD (reference operators.py:30)."""
+    return div(expr, shift=shift, order=order, method='RSFD')
+
+
+def grad45(expr, shift=None, order=None):
+    """Gradient via RSFD (reference operators.py:78)."""
+    return grad(expr, shift=shift, order=order, method='RSFD')
+
+
+def curl45(expr, shift=None, order=None):
+    """Curl via RSFD (reference operators.py:141)."""
+    return curl(expr, shift=shift, order=order, method='RSFD')
