@@ -95,6 +95,11 @@ def main():
         # block_until_ready alone does not guarantee execution completed
         return float(np.asarray(u._device_array()[0, n // 2, n // 2, n // 2]))
 
+    tiles = os.environ.get('BENCH_TILES')
+    if tiles:
+        from devito_tpu.compiler import pallas_backend as pb
+        pb.set_tile_override(tuple(int(v) for v in tiles.split(',')))
+
     # warmup (jit compile + 2 steps); optional tile autotuning
     at = os.environ.get('BENCH_AUTOTUNE')
     op.apply(time_m=0, time_M=1, dt=dt, autotune=at if at else None)

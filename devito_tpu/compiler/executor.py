@@ -339,12 +339,18 @@ def _exec_sparse(item, bufs, params, t, geom_cache, direction):
     return out
 
 
-def build_runner(schedule, write_names, stepping_info=None):
+def build_runner(schedule, write_names, stepping_info=None, errctl=None):
     """Build ``run(wbufs, rbufs, params, time_m, time_M) -> wbufs``.
 
     ``stepping_info``: {fn name: nslots} for rolling-buffer TimeFunctions;
     their (nslots, ...) canonical arrays are decomposed into per-slot
     tuples around the loop and rotated statically inside it.
+
+    ``errctl``: name of a stepping TimeFunction to stability-scan every 100
+    steps inside the loop (reference: passes/iet/errors.py:79 — the C
+    codegen emits ``if (t % 100 == 0) if (!isfinite(sum)) break``); here the
+    flag rides the fori_loop carry and turns the remaining iterations into
+    no-ops via lax.cond, and apply() raises ExecutionError.
 
     Only the written buffers are carried through the time loop (and donated
     by the Operator's jit); read-only buffers are loop-invariant closures.
@@ -426,7 +432,7 @@ def build_runner(schedule, write_names, stepping_info=None):
             t0 = time_m if forward else time_M
             bufs = _decompose(bufs, t0)
 
-            def body(i, carry):
+            def step(i, carry):
                 t = time_m + i if forward else time_M - i
                 merged = {**bufs, **carry}
                 merged = _exec_items(schedule.body, merged, params, t,
@@ -439,9 +445,36 @@ def build_runner(schedule, write_names, stepping_info=None):
                         result[name] = s[1:] + (s[0],)
                 return result
 
+            if errctl is None:
+                body = step
+            else:
+                import jax.numpy as jnp
+
+                def body(i, carry):
+                    err = carry.pop('__err__')
+
+                    def _go(cin):
+                        out = step(i, cin)
+                        t = time_m + i if forward else time_M - i
+                        slot = out[errctl]
+                        probe = slot[0] if isinstance(slot, tuple) else slot
+                        bad = ~jnp.isfinite(jnp.sum(probe))
+                        do_check = jnp.mod(t, 100) == 0
+                        out['__err__'] = jnp.where(do_check, bad, False)
+                        return out
+
+                    def _halt(cin):
+                        return {**cin, '__err__': jnp.bool_(True)}
+
+                    return jax.lax.cond(err, _halt, _go, carry)
+
             n = time_M - time_m + 1
             carry0 = {k: bufs[k] for k in write_names}
+            if errctl is not None:
+                import jax.numpy as jnp
+                carry0 = {**carry0, '__err__': jnp.bool_(False)}
             carry = jax.lax.fori_loop(0, n, body, carry0)
+            err_flag = carry.pop('__err__', None)
             bufs = {**bufs, **carry}
             # after the loop the window sits at t_end + direction; undo the
             # final rotation so recomposition indexes correctly
@@ -453,6 +486,9 @@ def build_runner(schedule, write_names, stepping_info=None):
             bufs = _recompose(bufs, t_end)
 
         bufs = _exec_items(schedule.epilogue, bufs, params, None, geom_cache)
-        return {k: bufs[k] for k in write_names}
+        out = {k: bufs[k] for k in write_names}
+        if schedule.body and errctl is not None:
+            out['__err__'] = err_flag
+        return out
 
     return run

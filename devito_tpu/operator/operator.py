@@ -41,12 +41,31 @@ class Operator:
     def __init__(self, expressions, subs=None, name='Kernel', opt=None,
                  **kwargs):
         self._name = name
-        self._opt = opt or configuration['opt']
+        # opt may be a mode string or ('mode', {options}) as in the
+        # reference (e.g. opt=('advanced', {'errctl': 'max'}))
+        self._opt_options = {}
+        if isinstance(opt, (tuple, list)):
+            self._opt = opt[0] if opt else configuration['opt']
+            for o in opt[1:]:
+                if isinstance(o, dict):
+                    self._opt_options.update(o)
+        else:
+            self._opt = opt or configuration['opt']
         tic = _time.perf_counter()
         self._schedule = lower_expressions(expressions, subs=subs)
         self._collect()
+        errctl = None
+        if self._opt_options.get('errctl') == 'max':
+            # in-loop stability scan (reference: passes/iet/errors.py
+            # check_stability — every 100 steps, sum one written stepping
+            # TimeFunction; on non-finite, halt the loop and raise)
+            cands = sorted(n for n in self._writes
+                           if n in self._stepping_info)
+            errctl = cands[0] if cands else None
+        self._errctl = errctl
         self._runner = build_runner(self._schedule, tuple(self._writes),
-                                    stepping_info=self._stepping_info)
+                                    stepping_info=self._stepping_info,
+                                    errctl=errctl)
         self._jit_cache = {}
         self._estimate_flops()
         self._build_time = _time.perf_counter() - tic
@@ -478,14 +497,30 @@ class Operator:
         tM = _np.int32(time_M)
         compiled, _ = self._compiled(wbufs, rbufs, params, tm, tM)
 
-        tic = _time.perf_counter()
-        out = compiled(wbufs, rbufs, params, tm, tM)
-        jax.block_until_ready(out)
-        elapsed = _time.perf_counter() - tic
+        trace_dir = configuration['profile-dir']
+        if trace_dir:
+            # XLA/TPU timeline capture, viewable in TensorBoard/Perfetto
+            # (reference analog: DEVITO_PROFILING=advanced2 vendor
+            # profiling hooks, operator/profiling.py:AdvancedProfiler)
+            with jax.profiler.trace(trace_dir):
+                tic = _time.perf_counter()
+                out = compiled(wbufs, rbufs, params, tm, tM)
+                jax.block_until_ready(out)
+                elapsed = _time.perf_counter() - tic
+        else:
+            tic = _time.perf_counter()
+            out = compiled(wbufs, rbufs, params, tm, tM)
+            jax.block_until_ready(out)
+            elapsed = _time.perf_counter() - tic
 
+        err = out.pop('__err__', None) if isinstance(out, dict) else None
         # adopt outputs (device authoritative)
         for name, arr in out.items():
             bound[name]._set_device_array(arr)
+        if err is not None and bool(_np.asarray(err)):
+            raise ExecutionError(
+                f"Stability check failed: non-finite values detected in "
+                f"`{self._errctl}` (reference errctl='max' semantics)")
         # nan/inf stability check (reference: passes/iet/errors.py
         # check_stability -> ExecutionError)
         if configuration['develop-mode']:

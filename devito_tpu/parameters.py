@@ -60,6 +60,9 @@ configuration.add('develop-mode', False, accepted=[True, False])
 configuration.add('safe-math', False, accepted=[True, False])
 configuration.add('autotuning', 'off', accepted=['off', 'basic', 'aggressive'])
 configuration.add('profiling', 'basic', accepted=['basic', 'advanced'])
+# when set to a directory path, Operator.apply wraps execution in
+# jax.profiler.trace(dir) (TensorBoard/Perfetto timeline)
+configuration.add('profile-dir', None)
 configuration.add('ignore-unknowns', False, accepted=[True, False])
 # Default floating dtype name used when a Grid does not specify one.
 configuration.add('dtype', 'float32', accepted=['float32', 'float64', 'bfloat16'])
@@ -73,6 +76,7 @@ _ENV_MAP = {
     'DEVITO_TPU_DEVELOP': 'develop-mode',
     'DEVITO_TPU_SAFE_MATH': 'safe-math',
     'DEVITO_TPU_AUTOTUNING': 'autotuning',
+    'DEVITO_TPU_PROFILE_DIR': 'profile-dir',
     'DEVITO_TPU_DTYPE': 'dtype',
 }
 
