@@ -6,21 +6,39 @@ the whole hot loop — time marching, stencil updates, source injection,
 receiver interpolation — is one `lax.fori_loop` inside one `jax.jit`, with
 buffer donation so XLA updates state in-place in HBM.
 
-Rolling time buffers (SteppingDimension semantics) are carried as a tuple
-of per-slot arrays and rotated *statically* each iteration (register
-renaming), so the hot path contains no dynamic time indexing at all — the
-functional analog of the reference's modulo-indexed buffers
-(ir/clusters/algorithms.py Stepper), but XLA-alias-friendly.
+Rolling time buffers (SteppingDimension semantics) stay *stacked* as
+their canonical (nslots, ...) arrays in the loop carry and are indexed
+with dynamic modulo rows — the direct functional analog of the
+reference's modulo-indexed buffers (ir/clusters/algorithms.py Stepper).
+This formulation measured fastest on v5e (experiments/stencil_probe*.py
+history):
+- the dynamic-slice of the tap-read row materializes one temp per step
+  that XLA's memory-space-assignment pins in VMEM, so all ~25 shifted
+  stencil reads hit VMEM instead of HBM (a per-tap-stream fusion reads
+  ~1.9 GB/step instead of ~270 MB);
+- the carry layout never changes, so the donated while-loop buffers
+  update in place — a rotated-tuple window costs 2-3 full-buffer
+  permutation copies per step (~1 ms at 256^3), and a statically-indexed
+  unrolled cycle only gets the VMEM pin for one of its sub-steps.
+
+Writes into padded buffers are lane-aligned: the written z-range is
+expanded to the full allocated lane extent with halo lanes taken from
+loop-invariant hoisted strips, so the dynamic-update-slice never needs a
+cross-lane rotation (a z-offset DUS measured ~7x slower on v5e, and an
+in-fusion read of the target row for the halo lanes flips XLA to a
+per-tap-stream fusion strategy).  See experiments/stencil_probe6/7.py for
+the measurement history.
 """
 
 from collections import OrderedDict
+from math import gcd
 
 import numpy as np
 
 from ..ir.lowering import LoweredEq, LoweredSparse
 from ..exceptions import CompilationError
 
-__all__ = ['build_runner']
+__all__ = ['build_runner', 'modulo_period']
 
 
 def _write_region_slices(eq):
@@ -40,14 +58,19 @@ def _region_map(eq):
         for d, (start, stop) in zip(fn.space_dimensions, eq.region))
 
 
-class StepContextMixin:
-    """Resolution of stepping-buffer slots shared by the exec functions."""
+def modulo_period(stepping_info):
+    """lcm of the rolling-buffer slot counts."""
+    P = 1
+    for m in (stepping_info or {}).values():
+        P = P * m // gcd(P, m)
+    return P
 
-    @staticmethod
-    def slot_pos(k, nslots, direction):
-        if direction >= 0:
-            return (nslots - 2 + k) % nslots
-        return (nslots - 2 - k) % nslots
+
+def step_row(t, toff, m):
+    """Canonical buffer row of a stepping access ``u[t + toff]`` (row r
+    holds time tau with tau % m == r); ``t`` may be traced."""
+    import jax.numpy as jnp
+    return jnp.mod(t + toff, m).astype(np.int32)
 
 
 def _resolve_time_indexed(bufs, fn, tk, toff, t, direction):
@@ -57,8 +80,11 @@ def _resolve_time_indexed(bufs, fn, tk, toff, t, direction):
     if tk is None:
         return buf
     if tk == 'stepping':
-        slots = buf  # tuple of per-slot arrays
-        return slots[StepContextMixin.slot_pos(toff, len(slots), direction)]
+        if t is None:
+            raise CompilationError(
+                "Stepping access outside the time loop")
+        return jax.lax.dynamic_index_in_dim(
+            buf, step_row(t, toff, fn._time_size), 0, keepdims=False)
     if tk == 'save':
         return jax.lax.dynamic_index_in_dim(buf, t + toff, 0, keepdims=False)
     if tk == 'cond':
@@ -91,9 +117,9 @@ def _target_prev(eq, bufs, t, direction):
     name = eq.target.name
     tk = eq.time_kind
     if tk == 'stepping':
-        slots = bufs[name]
-        pos = StepContextMixin.slot_pos(eq.time_off, len(slots), direction)
-        return slots[pos]
+        return jax.lax.dynamic_index_in_dim(
+            bufs[name], step_row(t, eq.time_off, eq.target._time_size),
+            0, keepdims=False)
     buf = bufs[name]
     if tk == 'save':
         return jax.lax.dynamic_index_in_dim(buf, t + eq.time_off, 0,
@@ -105,11 +131,31 @@ def _target_prev(eq, bufs, t, direction):
     return buf
 
 
-def _exec_dense(eq, bufs, params, t, direction):
+def _align_lane_write(val, slices, strip, zext, row_idx, jnp):
+    """Expand the written z-range to the full allocated lane extent using
+    hoisted loop-invariant halo ``strip``s stacked per canonical row (see
+    build_runner._hoist_strips); ``row_idx`` (traced) selects the row.
+    Returns (val, slices) with a lane-aligned last-dim slice — a z-offset
+    DUS costs a cross-lane rotation of the whole buffer otherwise."""
+    import jax
+    left, right = strip
+    parts = []
+    if left is not None:
+        parts.append(jax.lax.dynamic_index_in_dim(left, row_idx, 0,
+                                                  keepdims=False))
+    parts.append(val)
+    if right is not None:
+        parts.append(jax.lax.dynamic_index_in_dim(right, row_idx, 0,
+                                                  keepdims=False))
+    if len(parts) > 1:
+        val = jnp.concatenate(parts, axis=-1)
+    return val, slices[:-1] + (slice(0, zext),)
+
+
+def _exec_dense(eq, bufs, params, t, direction, strips=None):
     import jax
     import jax.numpy as jnp
     from .translate import translate, DenseCtx
-    from ..ir.lowering import time_access_of
 
     fn = eq.target
     name = fn.name
@@ -139,13 +185,9 @@ def _exec_dense(eq, bufs, params, t, direction):
                                   target_prev=tp)
             val_fullz = plan.fullz and tp is not None
 
+    ctx = DenseCtx(bufs, params, _region_map(eq), t=t, direction=direction)
     if val is None:
-        ctx = DenseCtx(bufs, params, _region_map(eq), t=t,
-                       direction=direction)
         val = translate(eq.rhs, ctx)
-    else:
-        ctx = DenseCtx(bufs, params, _region_map(eq), t=t,
-                       direction=direction)
 
     slices = _write_region_slices(eq)
     if val_fullz:
@@ -157,17 +199,23 @@ def _exec_dense(eq, bufs, params, t, direction):
     out = dict(bufs)
 
     if tk == 'stepping':
-        slots = list(bufs[name])
-        pos = StepContextMixin.slot_pos(eq.time_off, len(slots), direction)
-        target_arr = slots[pos]
+        buf = bufs[name]
+        m = fn._time_size
+        row_idx = step_row(t, eq.time_off, m)
 
         def _current():
-            return target_arr[slices]
+            cur = jax.lax.dynamic_index_in_dim(buf, row_idx, 0,
+                                               keepdims=False)
+            return cur[slices]
 
         val = _finalize_val(eq, val, _current, ctx, region_shape,
-                            target_arr.dtype, jnp)
-        slots[pos] = target_arr.at[slices].set(val)
-        out[name] = tuple(slots)
+                            buf.dtype, jnp)
+        strip = strips.get(id(eq)) if strips else None
+        if not val_fullz and strip is not None:
+            val, slices = _align_lane_write(val, slices, strip,
+                                            buf.shape[-1], row_idx, jnp)
+        starts = (row_idx,) + tuple(np.int32(sl.start) for sl in slices)
+        out[name] = jax.lax.dynamic_update_slice(buf, val[None], starts)
         return out
 
     buf = bufs[name]
@@ -321,12 +369,12 @@ def _exec_sparse(item, bufs, params, t, geom_cache, direction):
             val = jnp.asarray(matrix) @ jnp.broadcast_to(
                 val, (matrix.shape[1],))
         if item.field_time_kind == 'stepping':
-            slots = list(bufs[field.name])
-            pos = StepContextMixin.slot_pos(item.field_time_off or 0,
-                                           len(slots), direction)
-            contrib = (W * val).astype(slots[pos].dtype)
-            slots[pos] = slots[pos].at[sidx].add(contrib)
-            out[field.name] = tuple(slots)
+            buf = bufs[field.name]
+            row_idx = step_row(t, item.field_time_off or 0,
+                               field._time_size)
+            contrib = (W * val).astype(buf.dtype)
+            buf = buf.at[(row_idx,) + sidx].add(contrib)
+            out[field.name] = buf
             return out
         buf = bufs[field.name]
         contrib = (W * val).astype(buf.dtype)
@@ -339,12 +387,17 @@ def _exec_sparse(item, bufs, params, t, geom_cache, direction):
     return out
 
 
-def build_runner(schedule, write_names, stepping_info=None, errctl=None):
+def build_runner(schedule, write_names, stepping_info=None, errctl=None,
+                 anchor=0):
     """Build ``run(wbufs, rbufs, params, time_m, time_M) -> wbufs``.
 
     ``stepping_info``: {fn name: nslots} for rolling-buffer TimeFunctions;
-    their (nslots, ...) canonical arrays are decomposed into per-slot
-    tuples around the loop and rotated statically inside it.
+    their (nslots, ...) canonical arrays (row r holds time tau with
+    tau % nslots == r) stay stacked in the loop carry and are read/written
+    at dynamic modulo rows (see module docstring for why this is the fast
+    formulation on TPU).
+
+    ``anchor`` is accepted for API stability but unused.
 
     ``errctl``: name of a stepping TimeFunction to stability-scan every 100
     steps inside the loop (reference: passes/iet/errors.py:79 — the C
@@ -361,10 +414,10 @@ def build_runner(schedule, write_names, stepping_info=None, errctl=None):
     direction = schedule.direction
     forward = direction >= 0
 
-    def _exec_items(items, bufs, params, t, geom_cache):
+    def _exec_items(items, bufs, params, t, geom_cache, strips=None):
         for it in items:
             if isinstance(it, LoweredEq):
-                bufs = _exec_dense(it, bufs, params, t, direction)
+                bufs = _exec_dense(it, bufs, params, t, direction, strips)
             elif isinstance(it, LoweredSparse):
                 bufs = _exec_sparse(it, bufs, params, t, geom_cache,
                                     direction)
@@ -372,51 +425,43 @@ def build_runner(schedule, write_names, stepping_info=None, errctl=None):
                 raise CompilationError(f"Cannot execute {it}")
         return bufs
 
-    def _decompose(bufs, t0):
-        """Split stepping buffers into logical-time-ordered slot tuples.
-        Slot i of the tuple corresponds to canonical row computed from t0
-        so that `.data`'s modulo-row convention is preserved."""
-        out = dict(bufs)
-        for name, m in stepping_info.items():
-            if name not in out:
-                continue
-            buf = out[name]
-            slots = []
-            for i in range(m):
-                if forward:
-                    # tuple position i <-> time t0 + 1 + (i - (m - 1))
-                    tau = t0 + 1 + i - (m - 1)
-                else:
-                    # backward: position i <-> time t0 - 1 + (m - 1) - i
-                    tau = t0 - 1 + (m - 1) - i
-                row = jax.numpy.mod(tau, m)
-                slots.append(jax.lax.dynamic_index_in_dim(
-                    buf, row, 0, keepdims=False))
-            out[name] = tuple(slots)
-        return out
+    def _hoist_strips(raw_bufs):
+        """Loop-invariant z-halo strips for lane-aligned writes, stacked
+        per canonical row.
 
-    def _recompose(bufs, t_end):
-        """Write slot tuples back into canonical (m, ...) arrays."""
-        out = dict(bufs)
-        for name, m in stepping_info.items():
-            if name not in out or not isinstance(out[name], tuple):
+        For a dense stepping-target eq whose write covers the full domain
+        z-range, the lanes outside the written z-range are halo/alignment
+        pad — no equation or injection can ever write them (write regions
+        are domain-bounded), so their content is constant through the
+        loop.  Capturing them once lets the per-step write be a full-lane
+        aligned DUS whose halo lanes come from hoisted constants instead
+        of a per-step read of the target row (which flips XLA to a
+        per-tap-stream fusion strategy — measured 4x slower)."""
+        strips = {}
+        for it in schedule.body:
+            if not isinstance(it, LoweredEq) or it.time_kind != 'stepping':
                 continue
-            slots = out[name]
-            base = None
-            for i, s in enumerate(slots):
-                if forward:
-                    tau = t_end + 1 + i - (m - 1)
-                else:
-                    tau = t_end - 1 + (m - 1) - i
-                row = jax.numpy.mod(tau, m)
-                if base is None:
-                    base = jax.numpy.zeros((m,) + s.shape, s.dtype)
-                base = jax.lax.dynamic_update_index_in_dim(
-                    base, s, row, 0)
-            out[name] = base
-        return out
+            fn = it.target
+            if fn.name not in raw_bufs:
+                continue
+            sshape = fn.shape[1:] if fn.is_TimeFunction else fn.shape
+            if it.region[-1] != (0, sshape[-1]):
+                continue  # sub-domain z write: halo lanes not provably dead
+            slices = _write_region_slices(it)
+            zsl = slices[-1]
+            buf = raw_bufs[fn.name]  # canonical (m, ...) array
+            zext = buf.shape[-1]
+            if zsl.start == 0 and zsl.stop == zext:
+                continue  # already aligned
+            rows = buf[(slice(None),) + slices[:-1] + (slice(None),)]
+            left = rows[..., :zsl.start] if zsl.start > 0 else None
+            right = rows[..., zsl.stop:] if zsl.stop < zext else None
+            strips[id(it)] = (left, right)
+        return strips
 
     def run(wbufs, rbufs, params, time_m, time_M):
+        import jax.numpy as jnp
+
         bufs = {**rbufs, **wbufs}
         geom_cache = {}
         bufs = _exec_items(schedule.prologue, bufs, params, None, geom_cache)
@@ -429,36 +474,28 @@ def build_runner(schedule, write_names, stepping_info=None, errctl=None):
                         geom_cache[sf.name] = _sparse_geometry(sf, bufs,
                                                                params)
 
-            t0 = time_m if forward else time_M
-            bufs = _decompose(bufs, t0)
+            strips = _hoist_strips(bufs)
 
             def step(i, carry):
                 t = time_m + i if forward else time_M - i
                 merged = {**bufs, **carry}
                 merged = _exec_items(schedule.body, merged, params, t,
-                                     geom_cache)
-                result = {k: merged[k] for k in write_names}
-                # rotate stepping windows: oldest slot becomes next new
-                for name, m in stepping_info.items():
-                    if name in result and isinstance(result[name], tuple):
-                        s = result[name]
-                        result[name] = s[1:] + (s[0],)
-                return result
+                                     geom_cache, strips=strips)
+                return {k: merged[k] for k in write_names}
 
             if errctl is None:
                 body = step
             else:
-                import jax.numpy as jnp
-
                 def body(i, carry):
                     err = carry.pop('__err__')
 
                     def _go(cin):
                         out = step(i, cin)
                         t = time_m + i if forward else time_M - i
-                        slot = out[errctl]
-                        probe = slot[0] if isinstance(slot, tuple) else slot
-                        bad = ~jnp.isfinite(jnp.sum(probe))
+                        # errctl names a stepping fn: probe one row of
+                        # the stacked buffer (any row is at most m steps
+                        # stale, matching the reference's sampled scan)
+                        bad = ~jnp.isfinite(jnp.sum(out[errctl][0]))
                         do_check = jnp.mod(t, 100) == 0
                         out['__err__'] = jnp.where(do_check, bad, False)
                         return out
@@ -471,19 +508,10 @@ def build_runner(schedule, write_names, stepping_info=None, errctl=None):
             n = time_M - time_m + 1
             carry0 = {k: bufs[k] for k in write_names}
             if errctl is not None:
-                import jax.numpy as jnp
                 carry0 = {**carry0, '__err__': jnp.bool_(False)}
             carry = jax.lax.fori_loop(0, n, body, carry0)
             err_flag = carry.pop('__err__', None)
             bufs = {**bufs, **carry}
-            # after the loop the window sits at t_end + direction; undo the
-            # final rotation so recomposition indexes correctly
-            t_end = time_M if forward else time_m
-            for name, m in stepping_info.items():
-                if name in bufs and isinstance(bufs[name], tuple):
-                    s = bufs[name]
-                    bufs[name] = (s[-1],) + s[:-1]
-            bufs = _recompose(bufs, t_end)
 
         bufs = _exec_items(schedule.epilogue, bufs, params, None, geom_cache)
         out = {k: bufs[k] for k in write_names}

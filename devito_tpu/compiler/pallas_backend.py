@@ -63,9 +63,15 @@ def validate_backend(interpret=False):
             nslot = jax.lax.rem(i + np.int32(1), np.int32(2))
 
             def dma_for(ti, s):
+                # np.int32 everywhere: under jax_enable_x64 python ints
+                # trace as i64, which Mosaic memref ops reject
+                if isinstance(ti, int):
+                    ti = np.int32(ti)
+                if isinstance(s, int):
+                    s = np.int32(s)
                 return pltpu.make_async_copy(
-                    src.at[pl.ds(ti * T, T + 2 * H),
-                           pl.ds(0, T + 2 * H), :],
+                    src.at[pl.ds(ti * np.int32(T), T + 2 * H),
+                           pl.ds(np.int32(0), T + 2 * H), :],
                     scratch.at[s], sems.at[s])
 
             @pl.when(i == 0)
@@ -346,6 +352,8 @@ def execute_plan(plan, resolved, params, interpret, target_prev=None):
                 m = margins[j]
                 start = (hl + region_start[j] - m
                          + (coords[j] * tiles[j] if j < grid_nd else 0))
+                if isinstance(start, int):
+                    start = np.int32(start)
                 idx.append(pl.ds(start, tiles[j] + 2 * m))
             idx.append(slice(None))
             return pltpu.make_async_copy(

@@ -162,8 +162,9 @@ class BaseCtx:
 
     def _time_resolved(self, fn, access):
         """Resolve an access's time index into the concrete (time-free)
-        array: stepping buffers are statically renamed slot tuples
-        (see compiler/executor.py), save/cond arrays dynamically indexed."""
+        array: stepping buffers are statically-indexed window tuples
+        (see compiler/executor.py), save/cond arrays dynamically
+        indexed."""
         from .executor import _resolve_time_indexed
         tk, toff = time_access_of(access)
         return _resolve_time_indexed(self.buffers, fn, tk, toff, self.t,
