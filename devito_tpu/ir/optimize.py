@@ -1,0 +1,196 @@
+"""Symbolic optimization passes over the lowered Schedule.
+
+Reference parity: the cluster-level flop-reduction passes — Lift
+(devito/passes/clusters/misc.py:13, hoist dimension-invariant clusters out
+of loops) and CIRE mode 'invariants' (devito/passes/clusters/aliases.py:34,
+extract time-invariant aliasing subexpressions into Array temporaries).
+
+On TPU the payoff is different from CPU cache reuse: a hoisted invariant
+replaces per-step VPU work (divisions, transcendentals, polynomial chains
+over model parameter fields) with a single extra HBM stream read.  The
+cost model reflects that: hoist when the subexpression contains an
+expensive op (division / sqrt / transcendental) or enough arithmetic that
+one stream read is cheaper than recomputation.
+"""
+
+import itertools
+
+import sympy
+
+from ..types.basic import AbstractFunction, retrieve_functions
+from .lowering import (LoweredEq, _has_time, estimate_cost)
+
+__all__ = ['hoist_invariants']
+
+_ctr = itertools.count()
+
+_EXPENSIVE = (sympy.sin, sympy.cos, sympy.tan, sympy.exp, sympy.log,
+              sympy.sinh, sympy.cosh, sympy.tanh, sympy.asin, sympy.acos,
+              sympy.atan)
+
+# A hoisted temporary costs one extra HBM stream read per step.  On v5e
+# one full-grid stream is worth roughly a dozen VPU ops per point
+# (measured: 0.1-0.15 ms/stream vs ~37 us per tap op at 256^3), and
+# divisions turned out nearly as cheap as multiplies on the VPU, while
+# transcendentals are genuinely expensive.  Hoist only candidates whose
+# weighted per-point cost clearly beats the stream price.
+_WEIGHTED_MIN = 13
+_W_DIVISION = 2
+_W_TRANSCENDENTAL = 12
+
+
+def _dense_accesses(expr):
+    return [a for a in retrieve_functions(expr)
+            if not a.function.is_SparseFunction
+            and a.function.grid is not None]
+
+
+def _weighted_cost(expr):
+    cost = estimate_cost(expr)
+    for node in sympy.preorder_traversal(sympy.sympify(expr)):
+        if isinstance(node, sympy.Pow):
+            e = node.exp
+            if (getattr(e, 'is_number', False) and
+                    (not float(e).is_integer() or float(e) < 0)):
+                cost += _W_DIVISION
+        elif isinstance(node, _EXPENSIVE):
+            cost += _W_TRANSCENDENTAL
+    return cost
+
+
+def _worthwhile(expr):
+    if not _dense_accesses(expr):
+        return False  # scalar-only: folded at trace time anyway
+    return _weighted_cost(expr) >= _WEIGHTED_MIN
+
+
+def _invariant(expr):
+    return not _has_time(expr)
+
+
+def _collect(expr, out):
+    """Top-down collection of maximal hoistable invariant subexpressions."""
+    expr = sympy.sympify(expr)
+    if not getattr(expr, 'args', ()):
+        return
+    if _invariant(expr):
+        if _worthwhile(expr):
+            out[expr] = True
+        return  # whole subtree invariant: either hoisted or too cheap
+    if isinstance(expr, (sympy.Add, sympy.Mul)):
+        inv = [a for a in expr.args if _invariant(a)]
+        if inv:
+            group = expr.func(*inv, evaluate=False) if len(inv) > 1 else inv[0]
+            if _worthwhile(group):
+                out[group] = True
+                # don't descend into the hoisted group
+                for a in expr.args:
+                    if not _invariant(a):
+                        _collect(a, out)
+                return
+    for a in expr.args:
+        _collect(a, out)
+
+
+def hoist_invariants(schedule):
+    """Extract time-invariant, flop-heavy subexpressions of the loop-body
+    dense equations into grid temporaries computed once in the prologue.
+    Mutates and returns ``schedule``."""
+    from ..types.dense import Function
+
+    body_dense = [it for it in schedule.body if isinstance(it, LoweredEq)]
+    if not body_dense:
+        return schedule
+
+    candidates = {}
+    for eq in body_dense:
+        _collect(eq.rhs, candidates)
+    if not candidates:
+        return schedule
+
+    existing = set()
+    for it in schedule.all_items:
+        for a in retrieve_functions(getattr(it, 'rhs', 0)):
+            existing.add(a.function.name)
+        tgt = getattr(it, 'target', None)
+        if tgt is not None:
+            existing.add(tgt.name)
+
+    mapper = {}
+    new_prologue = []
+    for cand in candidates:
+        accs = _dense_accesses(cand)
+        grid = accs[0].function.grid
+        if any(a.function.grid is not grid for a in accs):
+            continue
+        # skip candidates accessing non-canonical dimension layouts
+        if any(len(a.function.space_dimensions) != grid.dim for a in accs):
+            continue
+        name = f"r{next(_ctr)}"
+        while name in existing:
+            name = f"r{next(_ctr)}"
+        existing.add(name)
+        temp = Function(name=name, grid=grid, space_order=0,
+                        dtype=grid.dtype)
+        region = tuple((0, n) for n in grid.shape)
+        new_prologue.append(LoweredEq(temp.function, None, None, region,
+                                      cand, time_dep=False))
+        mapper[cand] = temp
+
+    if not mapper:
+        return schedule
+
+    def _rewrite(expr):
+        """Rebuild ``expr`` with hoisted subexpressions (including partial
+        Add/Mul groups, which plain xreplace cannot match) replaced by
+        their temporaries."""
+        expr = sympy.sympify(expr)
+        if expr in mapper:
+            return mapper[expr]
+        if not getattr(expr, 'args', ()):
+            return expr
+        if isinstance(expr, (sympy.Add, sympy.Mul)):
+            inv = [a for a in expr.args if _invariant(a)]
+            if inv:
+                group = (expr.func(*inv, evaluate=False)
+                         if len(inv) > 1 else inv[0])
+                if group in mapper:
+                    rest = [_rewrite(a) for a in expr.args
+                            if not _invariant(a)]
+                    return expr.func(mapper[group], *rest)
+        if isinstance(expr, AbstractFunction):
+            return expr
+        return expr.func(*[_rewrite(a) for a in expr.args])
+
+    def _body_reads(rhss):
+        names = set()
+        for rhs in rhss:
+            for a in retrieve_functions(rhs):
+                names.add(a.function.name)
+        return names
+
+    before_reads = _body_reads([eq.rhs for eq in body_dense])
+    rewritten = [_rewrite(eq.rhs) for eq in body_dense]
+    after_reads = _body_reads(rewritten)
+
+    # global stream accounting: each live temp is one extra HBM stream per
+    # step; each invariant function no longer read is one stream freed.
+    # Accept the hoist only if it is stream-neutral or the recomputation
+    # savings clearly dominate (one stream ~ 20 weighted ops on v5e).
+    temps_used = {e.target.name for e in new_prologue} & after_reads
+    freed = before_reads - after_reads
+    added = len(temps_used)
+    savings = sum(_weighted_cost(c) for c, t in mapper.items()
+                  if t.name in temps_used)
+    if added > len(freed) and savings < 20 * (added - len(freed)):
+        return schedule
+
+    for eq, rhs in zip(body_dense, rewritten):
+        eq.rhs = rhs
+    # drop temps shadowed by larger hoisted groups (never read back)
+    new_prologue = [e for e in new_prologue if e.target.name in temps_used]
+
+    # invariants must be computed before the loop; they are themselves
+    # ordinary prologue equations (reference: Lift hoists whole clusters)
+    schedule.prologue = schedule.prologue + new_prologue
+    return schedule

@@ -53,6 +53,13 @@ class Operator:
             self._opt = opt or configuration['opt']
         tic = _time.perf_counter()
         self._schedule = lower_expressions(expressions, subs=subs)
+        if self._opt != 'noop' and self._opt_options.get(
+                'hoist-invariants', True):
+            # flop reduction: hoist time-invariant subexpressions into
+            # prologue temporaries (reference: Lift + CIRE 'invariants',
+            # passes/clusters/misc.py:13, aliases.py:34)
+            from ..ir.optimize import hoist_invariants
+            hoist_invariants(self._schedule)
         self._collect()
         errctl = None
         if self._opt_options.get('errctl') == 'max':
