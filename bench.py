@@ -68,7 +68,7 @@ def main():
 
     n = int(os.environ.get('BENCH_SIZE', 256))
     so = int(os.environ.get('BENCH_SO', 8))
-    steps = int(os.environ.get('BENCH_STEPS', 64))
+    steps = int(os.environ.get('BENCH_STEPS', 256))
     shape = (n, n, n)
 
     dev = jax.devices()[0]
@@ -100,6 +100,9 @@ def main():
         from devito_tpu.compiler import pallas_backend as pb
         pb.set_tile_override(tuple(int(v) for v in tiles.split(',')))
 
+    # steady-state methodology (reference FAQ.md:826): enough steps that
+    # the per-apply dispatch/fetch overhead through the remote-TPU tunnel
+    # (~90 ms) is amortized out of the throughput number
     # warmup (jit compile + 2 steps); optional tile autotuning
     at = os.environ.get('BENCH_AUTOTUNE')
     op.apply(time_m=0, time_M=1, dt=dt, autotune=at if at else None)
