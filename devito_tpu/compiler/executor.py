@@ -263,7 +263,7 @@ def _finalize_val(eq, val, current, ctx, region_shape, dtype, jnp):
     return jnp.broadcast_to(val, region_shape).astype(dtype)
 
 
-def _sparse_geometry(sf, bufs, params):
+def _sparse_geometry(sf, bufs, params, shard_spec=None):
     """Compute corner indices {dim: (C, P) int arrays, domain coords,
     clipped} and weights (C, P) for a sparse function's interpolation
     stencil. Positions derive from the runtime coordinates buffer
@@ -320,17 +320,34 @@ def _sparse_geometry(sf, bufs, params):
     W = jnp.stack(weights)  # (C, P)
     W = W * valid.astype(W.dtype)
     idxs = {k: jnp.stack(v) for k, v in corner_idx.items()}  # (C, P)
+    if shard_spec:
+        # shard-local indices: each corner is owned by exactly one shard;
+        # foreign contributions are masked out (reference analog: sparse
+        # ownership scatter, devito/mpi/distributed.py SparseDistributor)
+        import jax
+        for d in dims:
+            part = shard_spec.get(d.name)
+            if part is None:
+                continue
+            axis_name, nparts, lext = part
+            off = jax.lax.axis_index(axis_name) * lext
+            loc = idxs[d.name] - off
+            inb = (loc >= 0) & (loc <= lext - 1)
+            W = W * inb.astype(W.dtype)
+            idxs[d.name] = jnp.clip(loc, 0, lext - 1)
     return idxs, W
 
 
-def _exec_sparse(item, bufs, params, t, geom_cache, direction):
+def _exec_sparse(item, bufs, params, t, geom_cache, direction,
+                 shard_spec=None):
     import jax.numpy as jnp
     from .translate import translate, SparseCtx
 
     sf = item.sparse
     key = sf.name
     if key not in geom_cache:
-        geom_cache[key] = _sparse_geometry(sf, bufs, params)
+        geom_cache[key] = _sparse_geometry(sf, bufs, params,
+                                           shard_spec=shard_spec)
     corner_idx, W = geom_cache[key]
 
     ctx = SparseCtx(bufs, params, corner_idx, W, sf, t=t,
@@ -344,6 +361,11 @@ def _exec_sparse(item, bufs, params, t, geom_cache, direction):
             res = jnp.sum(W * val, axis=0)
         else:
             res = jnp.sum(W, axis=0) * val
+        if shard_spec:
+            import jax
+            axes = tuple(a for (a, n, l) in shard_spec.values() if n > 1)
+            if axes:
+                res = jax.lax.psum(res, axes)
         if matrix is not None:
             # channels = M^T @ per-location values
             res = jnp.asarray(matrix).T @ res
@@ -388,7 +410,7 @@ def _exec_sparse(item, bufs, params, t, geom_cache, direction):
 
 
 def build_runner(schedule, write_names, stepping_info=None, errctl=None,
-                 anchor=0):
+                 anchor=0, exchange=None, shard_spec=None):
     """Build ``run(wbufs, rbufs, params, time_m, time_M) -> wbufs``.
 
     ``stepping_info``: {fn name: nslots} for rolling-buffer TimeFunctions;
@@ -398,6 +420,14 @@ def build_runner(schedule, write_names, stepping_info=None, errctl=None,
     formulation on TPU).
 
     ``anchor`` is accepted for API stability but unused.
+
+    ``exchange``: optional per-step hook ``exchange(bufs, t) -> bufs``
+    refreshing halo slabs from mesh neighbours (parallel/halo.py) — runs
+    at the top of each time step, inside shard_map.
+
+    ``shard_spec``: {dim name: (mesh axis name, nparts, local extent)}
+    when running inside shard_map; localizes sparse scatter/gather
+    indices and psums interpolation partial sums.
 
     ``errctl``: name of a stepping TimeFunction to stability-scan every 100
     steps inside the loop (reference: passes/iet/errors.py:79 — the C
@@ -420,7 +450,7 @@ def build_runner(schedule, write_names, stepping_info=None, errctl=None,
                 bufs = _exec_dense(it, bufs, params, t, direction, strips)
             elif isinstance(it, LoweredSparse):
                 bufs = _exec_sparse(it, bufs, params, t, geom_cache,
-                                    direction)
+                                    direction, shard_spec)
             else:
                 raise CompilationError(f"Cannot execute {it}")
         return bufs
@@ -471,14 +501,16 @@ def build_runner(schedule, write_names, stepping_info=None, errctl=None,
                 if isinstance(it, LoweredSparse):
                     sf = it.sparse
                     if sf.name not in geom_cache:
-                        geom_cache[sf.name] = _sparse_geometry(sf, bufs,
-                                                               params)
+                        geom_cache[sf.name] = _sparse_geometry(
+                            sf, bufs, params, shard_spec=shard_spec)
 
             strips = _hoist_strips(bufs)
 
             def step(i, carry):
                 t = time_m + i if forward else time_M - i
                 merged = {**bufs, **carry}
+                if exchange is not None:
+                    merged = exchange(merged, t)
                 merged = _exec_items(schedule.body, merged, params, t,
                                      geom_cache, strips=strips)
                 return {k: merged[k] for k in write_names}

@@ -303,7 +303,7 @@ class Operator:
         """Assemble runtime arguments (dry-run of apply's preparation)."""
         return self._prepare(kwargs)[0:3]
 
-    def _prepare(self, kwargs):
+    def _prepare(self, kwargs, shard=True):
         # function overrides by name
         overrides = {}
         for k in list(kwargs):
@@ -322,14 +322,16 @@ class Operator:
         wbufs, rbufs = {}, {}
         for name, fn in bound.items():
             arr = fn._device_array()
-            arr = self._maybe_shard(fn, arr)
+            if shard:
+                arr = self._maybe_shard(fn, arr)
             if name in self._writes:
                 wbufs[name] = arr
             else:
                 rbufs[name] = arr
             if fn.is_SparseFunction:
-                rbufs[f"{name}_coords"] = self._maybe_shard(
-                    None, fn._coords_device())
+                coords = fn._coords_device()
+                rbufs[f"{name}_coords"] = (self._maybe_shard(None, coords)
+                                           if shard else coords)
 
         # scalar params
         params = {}
@@ -485,6 +487,44 @@ class Operator:
         log_perf(f"Operator `{self._name}` jit-compiled in {jit_time:.2f} s")
         return compiled, True
 
+    def _halo_runner_for(self):
+        """ShardedRunner (explicit shard_map halo path) or None (GSPMD)."""
+        if getattr(self, '_halo_runner', '?') != '?':
+            return self._halo_runner
+        runner = None
+        mode = configuration['halo']
+        if (mode != 'gspmd' and self._grid is not None
+                and self._grid.distributor is not None):
+            from ..parallel.halo import (explicit_halo_eligible,
+                                         ShardedRunner)
+            if explicit_halo_eligible(self):
+                runner = ShardedRunner(self).build()
+                log_perf(f"Operator `{self._name}`: explicit shard_map "
+                         f"halo exchange over mesh "
+                         f"{self._grid.distributor.topology}")
+            elif mode == 'explicit':
+                raise InvalidArgument(
+                    "halo='explicit' requested but the schedule is not "
+                    "eligible for the explicit halo path")
+        self._halo_runner = runner
+        return runner
+
+    def _compiled_sharded(self, hr, wbufs, rbufs, params, tm, tM):
+        key = ('sharded',
+               tuple(sorted((k, v.shape, str(v.dtype))
+                            for k, v in wbufs.items())),
+               tuple(sorted((k, v.shape, str(v.dtype))
+                            for k, v in rbufs.items())),
+               tuple(sorted(params)))
+        hit = self._jit_cache.get(key)
+        if hit is not None:
+            return hit
+        import jax
+        f = hr._make(tuple(wbufs), tuple(rbufs), tuple(params))
+        compiled = f.lower(wbufs, rbufs, params, tm, tM).compile()
+        self._jit_cache[key] = compiled
+        return compiled
+
     def apply(self, **kwargs):
         import jax
         import numpy as _np
@@ -492,9 +532,11 @@ class Operator:
         if autotune is None:
             at_cfg = configuration['autotuning']
             autotune = at_cfg if at_cfg != 'off' else None
-        wbufs, rbufs, params, time_m, time_M, bound = self._prepare(kwargs)
+        hr = self._halo_runner_for()
+        wbufs, rbufs, params, time_m, time_M, bound = self._prepare(
+            kwargs, shard=hr is None)
 
-        if autotune and not getattr(self, '_autotuned', False):
+        if autotune and not getattr(self, '_autotuned', False) and hr is None:
             self._autotune(wbufs, rbufs, params, time_m,
                            mode=autotune if isinstance(autotune, str)
                            else 'basic')
@@ -502,7 +544,12 @@ class Operator:
 
         tm = _np.int32(time_m)
         tM = _np.int32(time_M)
-        compiled, _ = self._compiled(wbufs, rbufs, params, tm, tM)
+        if hr is not None:
+            wbufs, rbufs = hr.prepare_buffers(wbufs, rbufs)
+            compiled = self._compiled_sharded(hr, wbufs, rbufs, params,
+                                              tm, tM)
+        else:
+            compiled, _ = self._compiled(wbufs, rbufs, params, tm, tM)
 
         trace_dir = configuration['profile-dir']
         if trace_dir:
@@ -522,8 +569,13 @@ class Operator:
 
         err = out.pop('__err__', None) if isinstance(out, dict) else None
         # adopt outputs (device authoritative)
-        for name, arr in out.items():
-            bound[name]._set_device_array(arr)
+        if hr is not None:
+            import jax.numpy as jnp
+            for name, arr in out.items():
+                bound[name]._set_device_array(hr.restore(name, arr, jnp))
+        else:
+            for name, arr in out.items():
+                bound[name]._set_device_array(arr)
         if err is not None and bool(_np.asarray(err)):
             raise ExecutionError(
                 f"Stability check failed: non-finite values detected in "

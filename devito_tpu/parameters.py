@@ -56,6 +56,10 @@ configuration.add('log-level', 'INFO',
 configuration.add('opt', 'advanced', accepted=['noop', 'advanced', 'xla', 'pallas'])
 # Compute backend for stencil kernels inside the jitted step.
 configuration.add('backend', 'auto', accepted=['auto', 'xla', 'pallas'])
+# multi-chip halo exchange: 'auto' uses the explicit shard_map+ppermute
+# path (parallel/halo.py) when the schedule is eligible, else GSPMD;
+# 'gspmd' forces the XLA SPMD partitioner; 'explicit' errors if ineligible
+configuration.add('halo', 'auto', accepted=['auto', 'explicit', 'gspmd'])
 configuration.add('develop-mode', False, accepted=[True, False])
 configuration.add('safe-math', False, accepted=[True, False])
 configuration.add('autotuning', 'off', accepted=['off', 'basic', 'aggressive'])
@@ -73,6 +77,7 @@ _ENV_MAP = {
     'DEVITO_LOGGING': 'log-level',
     'DEVITO_TPU_OPT': 'opt',
     'DEVITO_TPU_BACKEND': 'backend',
+    'DEVITO_TPU_HALO': 'halo',
     'DEVITO_TPU_DEVELOP': 'develop-mode',
     'DEVITO_TPU_SAFE_MATH': 'safe-math',
     'DEVITO_TPU_AUTOTUNING': 'autotuning',

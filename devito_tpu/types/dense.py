@@ -70,6 +70,7 @@ class DiscreteFunction(AbstractFunction):
         cls._host_buf = None
         cls._dev_buf = None
         cls._coh = cls._HOST
+        cls._halo_state = 'zero'
 
     @staticmethod
     def _normalize_staggered(staggered, dims):
@@ -176,9 +177,21 @@ class DiscreteFunction(AbstractFunction):
     @property
     def data_with_halo(self):
         buf = self._ensure_host()
+        # user may write arbitrary halo content through this view: the
+        # explicit multi-chip halo path can no longer reconstruct it from
+        # exchange + edge rules (parallel/halo.py eligibility)
+        type(self)._halo_state = 'dirty'
         # trim the lane-alignment tail pad
         sl = tuple(slice(0, n) for n in self.shape_with_halo)
         return buf[sl]
+
+    @property
+    def halo_state(self):
+        """What the halo ring provably contains: 'zero' (never written),
+        'edge' (pad_outer_halo edge replication), or 'dirty' (arbitrary
+        user content). Drives parallel/halo.py shard-local halo
+        reconstruction."""
+        return type(self)._halo_state
 
     def pad_outer_halo(self):
         """Edge-replicate the domain data into the outer halo ring
@@ -186,6 +199,8 @@ class DiscreteFunction(AbstractFunction):
         physical parameters near the boundary see edge values, not
         zeros)."""
         buf = self._ensure_host()
+        if type(self)._halo_state == 'zero':
+            type(self)._halo_state = 'edge'
         lead = len(self._leading_slices())
         for j, (n, (hl, hr)) in enumerate(zip(
                 type(self)._space_shape, type(self)._halo)):

@@ -1,0 +1,191 @@
+"""Explicit shard_map + ppermute halo exchange (parallel/halo.py).
+
+Reference parity: devito/mpi/halo_scheme.py classify + tests/test_mpi.py
+halo-exchange numerics; plus the round-2 requirement that the compiled
+sharded HLO contains zero all-gathers for pure stencil steps (GSPMD alone
+emitted 12 all-gathers for a 2-eq acoustic step on an 8-device mesh).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from devito_tpu import (Grid, TimeFunction, Function, SparseTimeFunction,
+                        Eq, Operator, solve, configuration)
+from devito_tpu.parallel.distributor import Distributor
+from devito_tpu.parallel.halo import halo_scheme, explicit_halo_eligible
+
+
+def _mkgrid(shape, topology=None):
+    grid = Grid(shape=shape, extent=tuple(float(s - 1) for s in shape))
+    if topology is not None:
+        ndev = int(np.prod(topology))
+        grid._distributor = Distributor(grid, topology=topology,
+                                        devices=jax.devices()[:ndev])
+    return grid
+
+
+def _acoustic(grid, nt=8, dt=0.04, so=4):
+    u = TimeFunction(name='u', grid=grid, time_order=2, space_order=so)
+    vp = Function(name='vp', grid=grid)
+    vp.data[:] = 1.5
+    st = solve((1 / (vp * vp)) * u.dt2 - u.laplace, u.forward)
+    mid = tuple(s // 2 for s in grid.shape)
+    u.data[(0,) + mid] = 1.0
+    op = Operator(Eq(u.forward, st), subs=grid.spacing_map)
+    op.apply(time_M=nt - 1, dt=dt)
+    return np.array(u.data), op
+
+
+def test_halo_scheme_analysis():
+    grid = _mkgrid((16, 16))
+    u = TimeFunction(name='u', grid=grid, time_order=2, space_order=4)
+    vp = Function(name='vp', grid=grid, space_order=4)
+    st = solve((1 / (vp * vp)) * u.dt2 - u.laplace, u.forward)
+    op = Operator(Eq(u.forward, st), subs=grid.spacing_map)
+    needs = halo_scheme(op._schedule)
+    # the SO=4 laplacian reads u[t] at offsets up to 2 in each dim
+    assert needs[('u', 'stepping', 0)] == [2, 2]
+    # vp is read at offset 0 only: no halo requirement
+    assert ('vp', None, None) not in needs
+
+
+@pytest.mark.parametrize('topology', [(4, 2), (2, 2), (8, 1), (1, 8)])
+def test_explicit_halo_matches_serial_2d(topology):
+    ndev = int(np.prod(topology))
+    if len(jax.devices()) < ndev:
+        pytest.skip("not enough devices")
+    shape = (32, 32)
+    ref, _ = _acoustic(_mkgrid(shape))
+    got, op = _acoustic(_mkgrid(shape, topology))
+    assert op._halo_runner is not None, "explicit halo path not taken"
+    assert np.abs(got - ref).max() < 1e-6
+
+
+def test_explicit_halo_matches_serial_3d():
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    shape = (16, 16, 16)
+    ref, _ = _acoustic(_mkgrid(shape))
+    got, op = _acoustic(_mkgrid(shape, (2, 2, 2)))
+    assert op._halo_runner is not None
+    assert np.abs(got - ref).max() < 1e-6
+
+
+def test_no_allgather_in_stencil_hlo():
+    """Pure stencil step: the sharded program must contain zero
+    all-gathers (and zero all-reduces) — halo traffic is ppermute only."""
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    shape = (32, 32)
+    grid = _mkgrid(shape, (4, 2))
+    u = TimeFunction(name='u', grid=grid, time_order=2, space_order=4)
+    vp = Function(name='vp', grid=grid)
+    vp.data[:] = 1.5
+    st = solve((1 / (vp * vp)) * u.dt2 - u.laplace, u.forward)
+    op = Operator(Eq(u.forward, st), subs=grid.spacing_map)
+    hr = op._halo_runner_for()
+    assert hr is not None
+    wbufs, rbufs, params, tm, tM, _ = op._prepare({'dt': 0.04, 'time_M': 3},
+                                                  shard=False)
+    wbufs, rbufs = hr.prepare_buffers(wbufs, rbufs)
+    compiled = op._compiled_sharded(hr, wbufs, rbufs, params,
+                                    np.int32(0), np.int32(3))
+    txt = compiled.as_text()
+    assert 'all-gather' not in txt
+    assert 'all-reduce' not in txt
+    assert 'collective-permute' in txt
+
+
+def test_explicit_halo_with_src_rec():
+    """Sparse inject/interpolate over the explicit path (ownership-masked
+    corners + psum-ed interpolation partials)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    shape = (24, 24)
+    nt = 6
+
+    def run(grid):
+        u = TimeFunction(name='u', grid=grid, space_order=2)
+        src = SparseTimeFunction(name='src', grid=grid, npoint=2, nt=nt,
+                                 coordinates=[[11., 11.], [5.5, 17.2]])
+        src.data[:] = 1.0
+        rec = SparseTimeFunction(name='rec', grid=grid, npoint=3, nt=nt,
+                                 coordinates=[[11., 11.], [6., 17.],
+                                              [20., 3.]])
+        op = Operator([Eq(u.forward, 0.5 * u + 0.1 * u.dx),
+                       src.inject(field=u.forward, expr=src),
+                       rec.interpolate(expr=u)])
+        op.apply(time_M=nt - 2, dt=1.0)
+        return np.array(rec.data), op
+
+    ref, _ = run(_mkgrid(shape))
+    got, op = run(_mkgrid(shape, (2, 2)))
+    assert op._halo_runner is not None
+    assert np.abs(got - ref).max() < 1e-6
+
+
+def test_edge_padded_params_on_shards():
+    """A parameter whose halo was filled by pad_outer_halo (edge
+    replication) must see the same shifted reads on every shard."""
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    shape = (16, 16)
+
+    def run(grid):
+        u = TimeFunction(name='u', grid=grid, space_order=2)
+        b = Function(name='b', grid=grid, space_order=2)
+        b.data[:] = np.arange(16 * 16, dtype=np.float32).reshape(16, 16)
+        b.pad_outer_halo()
+        op = Operator(Eq(u.forward, 0.5 * u + b.dx))
+        op.apply(time_M=3, dt=1.0, h_x=1.0, h_y=1.0)
+        return np.array(u.data), op
+
+    ref, _ = run(_mkgrid(shape))
+    got, op = run(_mkgrid(shape, (2, 2)))
+    assert op._halo_runner is not None
+    assert np.abs(got - ref).max() < 1e-5
+
+
+def test_fallback_on_subdomain_writes():
+    """Sub-domain (BC) equations are not eligible: GSPMD fallback, still
+    correct."""
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    shape = (16, 16)
+
+    def run(grid):
+        u = TimeFunction(name='u', grid=grid, space_order=2)
+        u.data[0, 8, 8] = 1.0
+        eq = Eq(u.forward, 0.5 * u + 0.1 * u.laplace,
+                subdomain=grid.interior)
+        op = Operator(eq, subs=grid.spacing_map)
+        op.apply(time_M=4, dt=0.1)
+        return np.array(u.data), op
+
+    ref, _ = run(_mkgrid(shape))
+    got, op = run(_mkgrid(shape, (2, 2)))
+    assert op._halo_runner is None  # ineligible -> GSPMD
+    assert np.abs(got - ref).max() < 1e-6
+
+
+def test_backward_direction_sharded():
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    shape = (24, 24)
+
+    def run(grid):
+        v = TimeFunction(name='v', grid=grid, time_order=2, space_order=4)
+        vp = Function(name='vp', grid=grid)
+        vp.data[:] = 1.2
+        v.data[2, 12, 12] = 1.0
+        st = solve((1 / (vp * vp)) * v.dt2 - v.laplace, v.backward)
+        op = Operator(Eq(v.backward, st), subs=grid.spacing_map)
+        op.apply(time_m=1, time_M=6, dt=0.04)
+        return np.array(v.data), op
+
+    ref, _ = run(_mkgrid(shape))
+    got, op = run(_mkgrid(shape, (2, 2)))
+    assert op._halo_runner is not None
+    assert np.abs(got - ref).max() < 1e-6
