@@ -273,7 +273,10 @@ def lower_expressions(expressions, subs=None):
     if has_bwd and not has_fwd:
         direction = -1
 
-    return Schedule(prologue, body, epilogue, direction)
+    sched = Schedule(prologue, body, epilogue, direction)
+    from .support import validate_directions
+    validate_directions(sched)
+    return sched
 
 
 def _flatten_exprs(expressions):
