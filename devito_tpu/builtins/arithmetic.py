@@ -19,7 +19,7 @@ def _domain_dev(f):
         return arr
     slices = f._leading_slices() + tuple(
         slice(l, l + n) for n, (l, r) in zip(
-            f.shape if not f.is_TimeFunction else f.shape[1:], f.halo))
+            f.shape if not f.is_TimeFunction else f.shape[1:], f.dev_halo))
     return arr[slices]
 
 

@@ -42,10 +42,11 @@ __all__ = ['build_runner', 'modulo_period']
 
 
 def _write_region_slices(eq):
-    """Padded-buffer slices for the write region of a dense eq."""
+    """Device-buffer slices for the write region of a dense eq (halo
+    offsets follow the device layout — zero z-halo under z-compact)."""
     fn = eq.target
     slices = []
-    for (start, stop), (hl, hr) in zip(eq.region, fn.halo):
+    for (start, stop), (hl, hr) in zip(eq.region, fn.dev_halo):
         slices.append(slice(hl + start, hl + stop))
     return tuple(slices)
 
@@ -104,11 +105,11 @@ def _use_pallas():
     on_cpu = jax.default_backend() == 'cpu'
     if mode == 'pallas':
         return True, on_cpu  # interpret off-TPU
-    # auto: pallas on accelerators only, and only if the structure probe
-    # compiles on this chip (Mosaic feature coverage varies by generation)
-    if on_cpu:
-        return False, False
-    return pb.validate_backend(), False
+    # auto: the XLA executor (z-compact layout + VMEM-pinned row staging)
+    # out-streams the hand-built Pallas DMA pipeline on current chips
+    # (~720 vs ~310 GB/s aggregate; PERF_NOTES.md), so the flagship path
+    # is XLA and Pallas stays opt-in.
+    return False, False
 
 
 def _target_prev(eq, bufs, t, direction):
@@ -385,7 +386,7 @@ def _exec_sparse(item, bufs, params, t, geom_cache, direction,
         field = item.field
         sidx = tuple(corner_idx[d.name] + hl
                      for d, (hl, hr) in zip(field.space_dimensions,
-                                            field.halo))
+                                            field.dev_halo))
         if matrix is not None:
             # per-location values = M @ channel values
             val = jnp.asarray(matrix) @ jnp.broadcast_to(

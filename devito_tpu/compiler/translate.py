@@ -205,8 +205,20 @@ class DenseCtx(BaseCtx):
         fn = e.function
         arr = self._time_resolved(fn, e)
         offs = space_offsets_of(e)
+        halo = fn.dev_halo
+        if getattr(fn, 'is_zcompact', False) and offs and offs[-1] != 0:
+            # z-compact layout: synthesize the z halo with an in-VMEM
+            # zero-pad of the (already staged) time-resolved row — the
+            # pads of all taps of one row CSE into a single copy, which
+            # XLA's memory-space assignment pins in VMEM (the padded-HBM
+            # layout instead streams `round_up(n+2h,128)` lanes per row;
+            # measured 1.9x on v5e, experiments/stencil_probe8.py)
+            import jax.numpy as jnp
+            zh = tuple(fn.halo[-1])
+            arr = jnp.pad(arr, [(0, 0)] * (arr.ndim - 1) + [zh])
+            halo = halo[:-1] + (zh,)
         slices = []
-        for (d, off, (hl, hr)) in zip(fn.space_dimensions, offs, fn.halo):
+        for (d, off, (hl, hr)) in zip(fn.space_dimensions, offs, halo):
             start, length = self.region[d.name]
             s = hl + start + off
             slices.append(slice(s, s + length))
@@ -234,10 +246,12 @@ class SparseCtx(BaseCtx):
         fn = e.function
         if fn.is_SparseFunction:
             return self._time_resolved(fn, e)  # (P,)
-        # dense gather at corners
+        # dense gather at corners (z-compact functions are never gathered
+        # at a nonzero z offset — Operator._find_zcompact_candidates)
         arr = self._time_resolved(fn, e)
         offs = space_offsets_of(e)
         idxs = []
-        for (d, off, (hl, hr)) in zip(fn.space_dimensions, offs, fn.halo):
+        for (d, off, (hl, hr)) in zip(fn.space_dimensions, offs,
+                                      fn.dev_halo):
             idxs.append(self.corner_idx[d.name] + (hl + off))
         return arr[tuple(idxs)]  # (C, P)

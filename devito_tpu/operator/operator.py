@@ -17,7 +17,7 @@ import numpy as np
 import sympy
 
 from ..ir.lowering import (LoweredEq, LoweredSparse, lower_expressions,
-                           estimate_cost, time_access_of)
+                           estimate_cost, time_access_of, space_offsets_of)
 from ..compiler.executor import build_runner
 from ..types.basic import AbstractFunction, retrieve_functions
 from ..types.constant import Constant
@@ -152,6 +152,84 @@ class Operator:
             if fn.grid is not None:
                 self._grid = fn.grid
                 break
+
+        self._zcompact_candidates = self._find_zcompact_candidates()
+
+    def _find_zcompact_candidates(self):
+        """Dense functions eligible for the z-compact device layout (see
+        types/dense.py dev_halo): every write covers the full z domain
+        (halo lanes need no preservation) and no access — sparse gathers
+        included — reads them at a nonzero z offset unless they are
+        time-carried (the per-step in-VMEM zero-pad only amortizes on
+        arrays that are staged into VMEM anyway)."""
+        cands = set()
+        for name, fn in self._reads.items():
+            if fn.is_SparseFunction or fn.grid is None:
+                continue
+            halo = fn.halo
+            if not halo or halo[-1] == (0, 0):
+                continue
+            cands.add(name)
+
+        def _space_shape(fn):
+            return fn.shape[1:] if fn.is_TimeFunction else fn.shape
+
+        for it in self._schedule.all_items:
+            if isinstance(it, LoweredEq):
+                tname = it.target.name
+                if tname in cands and (
+                        it.region[-1] != (0, _space_shape(it.target)[-1])):
+                    cands.discard(tname)  # partial-z write: halo lanes of
+                    # the padded layout would need preserving
+                exprs = [it.rhs] + ([it.condition]
+                                    if it.condition is not None else [])
+                for e in exprs:
+                    for a in retrieve_functions(e):
+                        f = a.function
+                        if f.name not in cands or f.is_SparseFunction:
+                            continue
+                        offs = space_offsets_of(a)
+                        if offs and offs[-1] != 0 and not (
+                                f.is_TimeFunction and f._time_size):
+                            # z-shifted reads of a non-time-carried array:
+                            # the zero-pad would be a per-step copy of a
+                            # loop-invariant buffer
+                            cands.discard(f.name)
+            elif isinstance(it, LoweredSparse):
+                for a in retrieve_functions(it.expr):
+                    f = a.function
+                    if f.name in cands and not f.is_SparseFunction:
+                        offs = space_offsets_of(a)
+                        if offs and offs[-1] != 0:
+                            # sparse gather at a z offset could step out of
+                            # the compact extent at clipped corners
+                            cands.discard(f.name)
+        return cands
+
+    def _decide_layouts(self, bound, allow):
+        """Pick each dense function's device layout for this apply
+        (z-compact when provably safe and profitable, else padded)."""
+        from ..compiler.executor import _use_pallas
+        use_pallas = _use_pallas()[0]
+        for name, fn in bound.items():
+            if fn.is_SparseFunction or not hasattr(fn, 'set_device_layout'):
+                continue
+            want = 'padded'
+            if (allow and not use_pallas
+                    and name in self._zcompact_candidates
+                    and fn.halo_state == 'zero'):
+                grid = fn.grid or self._grid
+                dist = grid.distributor if grid is not None else None
+                if dist is None or dist.topology[-1] == 1:
+                    want = 'zcompact'
+            fn.set_device_layout(want)
+            # the schedule's expressions hold the function the Operator was
+            # built with; when `fn` is a per-apply override the translator
+            # consults the original's layout flags — keep them in agreement
+            orig = self._reads.get(name)
+            if orig is not None and orig is not fn and hasattr(
+                    orig, 'set_device_layout'):
+                orig.set_device_layout(want)
 
     def _estimate_flops(self):
         per_step = 0
@@ -303,7 +381,7 @@ class Operator:
         """Assemble runtime arguments (dry-run of apply's preparation)."""
         return self._prepare(kwargs)[0:3]
 
-    def _prepare(self, kwargs, shard=True):
+    def _prepare(self, kwargs, shard=True, zcompact=True):
         # function overrides by name
         overrides = {}
         for k in list(kwargs):
@@ -318,6 +396,8 @@ class Operator:
         bound = {}
         for name, fn in self._reads.items():
             bound[name] = overrides.get(name, fn)
+
+        self._decide_layouts(bound, allow=zcompact)
 
         wbufs, rbufs = {}, {}
         for name, fn in bound.items():
@@ -534,7 +614,7 @@ class Operator:
             autotune = at_cfg if at_cfg != 'off' else None
         hr = self._halo_runner_for()
         wbufs, rbufs, params, time_m, time_M, bound = self._prepare(
-            kwargs, shard=hr is None)
+            kwargs, shard=hr is None, zcompact=hr is None)
 
         if autotune and not getattr(self, '_autotuned', False) and hr is None:
             self._autotune(wbufs, rbufs, params, time_m,
