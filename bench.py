@@ -68,7 +68,7 @@ def main():
 
     n = int(os.environ.get('BENCH_SIZE', 256))
     so = int(os.environ.get('BENCH_SO', 8))
-    steps = int(os.environ.get('BENCH_STEPS', 256))
+    steps = int(os.environ.get('BENCH_STEPS', 512))
     shape = (n, n, n)
 
     dev = jax.devices()[0]

@@ -163,10 +163,14 @@ def make_step(variant):
         c2 = a - b
         c3 = 1.0 / (a + b)
 
+    nslots = 2 if 'slot2' in variant else 3
+    if nslots == 2:
+        u = u[:2]
+
     def step(i, buf):
-        r0 = jnp.mod(i, 3).astype(jnp.int32)
-        r1 = jnp.mod(i + 2, 3).astype(jnp.int32)
-        rw = jnp.mod(i + 1, 3).astype(jnp.int32)
+        r0 = jnp.mod(i, nslots).astype(jnp.int32)
+        r1 = jnp.mod(i + nslots - 1, nslots).astype(jnp.int32)
+        rw = jnp.mod(i + 1, nslots).astype(jnp.int32)
         u0r = jax.lax.dynamic_index_in_dim(buf, r0, 0, keepdims=False)
         u1r = jax.lax.dynamic_index_in_dim(buf, r1, 0, keepdims=False)
         if allpad:
@@ -186,6 +190,32 @@ def make_step(variant):
         else:
             starts = (rw, np.int32(0), np.int32(0), np.int32(0))
         return jax.lax.dynamic_update_slice(buf, val[None], starts)
+
+    if 'shadow' in variant:
+        # padded shadow of the latest-written row rides the carry in VMEM:
+        # no HBM staging read at all; next step pads val VMEM->VMEM
+        assert zpad and hoist
+
+        def step_shadow(i, carry):
+            buf, P = carry
+            r1 = jnp.mod(i + nslots - 1, nslots).astype(jnp.int32)
+            rw = jnp.mod(i + 1, nslots).astype(jnp.int32)
+            u1r = jax.lax.dynamic_index_in_dim(buf, r1, 0, keepdims=False)
+            val = rhs_hoisted(P, u1r, c1, c2, c3)
+            starts = (rw, np.int32(H), np.int32(H), np.int32(0))
+            buf = jax.lax.dynamic_update_slice(buf, val[None], starts)
+            P2 = jnp.pad(val, ((H, H), (H, H), (H, H)))
+            return (buf, P2)
+
+        @jax.jit
+        def run_shadow(buf, nsteps):
+            r0 = jnp.mod(0, nslots).astype(jnp.int32)
+            u0r = jax.lax.dynamic_index_in_dim(buf, r0, 0, keepdims=False)
+            P0 = jnp.pad(u0r, ((0, 0), (0, 0), (H, H)))
+            buf, P = jax.lax.fori_loop(0, nsteps, step_shadow, (buf, P0))
+            return buf
+
+        return run_shadow, u
 
     @jax.jit
     def run(buf, nsteps):
