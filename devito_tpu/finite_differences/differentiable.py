@@ -258,10 +258,14 @@ def _parse_derivative_shortcut(expr, name):
     return Derivative(expr, *dim_spec, fd_order=fd, side=side)
 
 
-def interp_for_fd(expr, x0):
+def interp_for_fd(expr, x0, _in_deriv=False):
     """Project mismatched-stagger accesses onto the evaluation lattice
     ``x0`` (reference: differentiable.py interp_for_fd:1263 + the off-grid
     evaluation in types/basic.py:1071).
+
+    ``_in_deriv``: internal — the expression is a derivative operand, where
+    single-lattice products are interpolated jointly (product first, then
+    2-pt average) so transpose-form derivative pairs stay exact adjoints.
 
     Bare function accesses (and jointly, products of them) whose stagger
     differs from ``x0`` along some dimension are replaced by a 2-point
@@ -307,7 +311,7 @@ def interp_for_fd(expr, x0):
             return Pow(_avg(Pow(a, sp.Integer(-1)), spec), sp.Integer(-1))
         return _avg(a, spec)
 
-    def _walk(e):
+    def _walk(e, in_deriv=False):
         if isinstance(e, AbstractFunction):
             return _interp_access(e)
         if isinstance(e, Derivative):
@@ -319,6 +323,42 @@ def interp_for_fd(expr, x0):
                               side=e._side, x0=e._x0,
                               transpose=e._transpose, weights=e._weights,
                               method=e._method)
+        if isinstance(e, sp.Mul) and in_deriv:
+            # A derivative OPERAND product: interpolate the WHOLE product
+            # jointly when every access inside (coefficient fields such as
+            # cos(theta) included) sits on one common lattice mismatched
+            # with x0 — i.e. form the product on its natural lattice, then
+            # 2-pt average the product onto x0. Required so that the
+            # adjoint's in-product coefficients, e.g.
+            # `(cos(theta)*(eps*p)).dy` at an edge, pair EXACTLY with the
+            # forward's out-of-product coefficients
+            # `cos(theta)*eps*(vx.dy)` at the node (reference analog:
+            # interp_for_fd Mul rule, differentiable.py:1273).
+            from ..types.basic import retrieve_functions
+            accs = [a for a in retrieve_functions(e)]
+            per_dim_ok = bool(accs)
+            spec = {}
+            for d, target in x0.items():
+                if not d.is_Space:
+                    continue
+                stags = set()
+                for a in accs:
+                    f = a.function
+                    if d in getattr(f, 'space_dimensions', ()):
+                        stags.add(f.stagger_offset(d))
+                mism = [s for s in stags
+                        if (s - sympy.Rational(target)) % 1 != 0]
+                if not mism:
+                    continue
+                if len(stags) > 1 or any(
+                        getattr(type(a.function), '_avg_mode',
+                                'arithmetic') != 'arithmetic'
+                        for a in accs):
+                    per_dim_ok = False  # disagreement / harmonic: fall back
+                    break
+                spec[d] = (d, sympy.Rational(target), mism[0])
+            if per_dim_ok and spec:
+                return _avg(e, list(spec.values()))
         if isinstance(e, sp.Mul):
             # group mismatched arithmetic bare accesses, interpolate the
             # product jointly (reference Mul rule, differentiable.py:1273)
@@ -334,15 +374,34 @@ def interp_for_fd(expr, x0):
                         for s in spec:
                             gspec[s[0]] = s
                         continue
-                others.append(_walk(a))
+                others.append(a)
             if group:
+                # Products gather on the HALF (staggered) lattice. When the
+                # target x0 is the integer lattice and some factors sit on
+                # the half lattice (e.g. `(cos(theta) * vx).dy` at NODE with
+                # vx x-staggered), project the remaining factors onto the
+                # half lattice, multiply THERE, then 2-pt average the whole
+                # product back to x0. This makes `c * u.dx` (at the edge)
+                # and `(c * w).dx` (at the node) exact mutual transposes —
+                # required for staggered-TTI adjoint dot tests at fp64
+                # accuracy (reference analog: Mul._gather_for_diff,
+                # differentiable.py:703 — staggered lattice wins).
+                half = [s for s in gspec.values()
+                        if (sympy.Rational(s[1]) % 1) == 0]
+                if half:
+                    sub = dict(x0)
+                    for d, t, s in half:
+                        sub[d] = s
+                    new_args = [interp_for_fd(a, sub) for a in e.args]
+                    return _avg(Mul(*new_args),
+                                [(d, t, s) for (d, t, s) in half])
                 joint = _avg(Mul(*group) if len(group) > 1 else group[0],
                              list(gspec.values()))
-                return Mul(joint, *others)
-            return Mul(*others)
+                return Mul(joint, *[_walk(o) for o in others])
+            return Mul(*[_walk(o) for o in others])
         if not isinstance(e, sp.Basic) or not e.args:
             return e
-        new_args = [_walk(a) for a in e.args]
+        new_args = [_walk(a, in_deriv=in_deriv) for a in e.args]
         if all(n is o for n, o in zip(new_args, e.args)):
             return e
         try:
@@ -353,9 +412,9 @@ def interp_for_fd(expr, x0):
     def _walk_with(e, sub_x0):
         if not sub_x0:
             return e
-        return interp_for_fd(e, sub_x0)
+        return interp_for_fd(e, sub_x0, _in_deriv=True)
 
-    return _walk(sympy.sympify(expr))
+    return _walk(sympy.sympify(expr), in_deriv=_in_deriv)
 
 
 class Add(Differentiable, sympy.Add):

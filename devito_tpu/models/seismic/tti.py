@@ -41,39 +41,64 @@ def _half(b, d, sign=+1):
                       x0={d: Rational(sign, 2)})
 
 
-def Gzz_centered_2d(model, field):
-    b = getattr(model, 'b', 1)
-    costheta, sintheta = trig_func(model)
-    order1 = field.space_order // 2
-    x, y = field.grid.dimensions
-    dx, dy = x.spacing / 2, y.spacing / 2
+def rotation_rows(model):
+    """Rows of the TTI rotation matrix: unit vectors of the rotated frame
+    expressed in grid coordinates, horizontal rows first, symmetry axis
+    (z') last. 2-D: tilt theta only; 3-D: tilt theta + azimuth phi."""
+    if model.dim == 3:
+        ct, st, cp, sp = trig_func(model)
+        return [(ct * cp, ct * sp, -st),   # x'
+                (-sp, cp, 0),              # y'
+                (st * cp, st * sp, ct)]    # z'
+    ct, st = trig_func(model)
+    return [(ct, -st),                     # x'
+            (st, ct)]                      # z'
 
-    Gz = (_half(b, x) * sintheta * field.dx(fd_order=order1, x0=x + dx) +
-          _half(b, y) * costheta * field.dy(fd_order=order1, x0=y + dy))
-    Gzz = (Gz * costheta).dy(fd_order=order1, x0=y - dy)
-    if sintheta != 0:
-        Gzz += (Gz * sintheta).dx(fd_order=order1, x0=x - dx)
-    return Gzz
+
+def rotated_dir_derivative(model, field, row, side=None, weight=None,
+                           fd_order=None, product=False):
+    """Directional first derivative of ``field`` along a rotated-frame
+    unit vector ``row``: sum_d c_d * D_d[field], with optional half-point
+    evaluation (``side``=+1/-1 shifts x0 by +/- h/2, the Zhang et al.
+    self-adjoint construction) and per-term ``weight(d)`` factors.
+    ``product=True`` differentiates the product (c_d * field) instead —
+    the adjoint (transpose) form used by backward kernels."""
+    dims = model.space_dimensions
+    out = 0
+    for d, c in zip(dims, row):
+        if c == 0:
+            continue
+        kw = {}
+        if fd_order is not None:
+            kw['fd_order'] = fd_order
+        if side is not None:
+            kw['x0'] = {d: d + Rational(side, 2) * d.spacing}
+        w = weight(d) if weight is not None else 1
+        if product:
+            out += Derivative(w * c * field, d, **kw)
+        else:
+            out += w * c * Derivative(field, d, **kw)
+    return out
 
 
 def Gzz_centered(model, field):
+    """Rotated second derivative along the symmetry axis,
+    G_z'z' = D_z'^T ( b(+h/2) D_z' field ), first derivatives evaluated at
+    +h/2 and composed back at -h/2 (Zhang et al. 2011 self-adjoint form;
+    reference: examples/seismic/tti/operators.py Gzz_centered:65)."""
     b = getattr(model, 'b', 1)
-    costheta, sintheta, cosphi, sinphi = trig_func(model)
     order1 = field.space_order // 2
-    x, y, z = field.grid.dimensions
-    dx, dy, dz = x.spacing / 2, y.spacing / 2, z.spacing / 2
+    zrow = rotation_rows(model)[-1]
+    Gz = rotated_dir_derivative(model, field, zrow, side=+1,
+                                weight=lambda d: _half(b, d),
+                                fd_order=order1)
+    return rotated_dir_derivative(model, Gz, zrow, side=-1,
+                                  fd_order=order1, product=True)
 
-    Gz = (_half(b, x) * sintheta * cosphi *
-          field.dx(fd_order=order1, x0=x + dx) +
-          _half(b, y) * sintheta * sinphi *
-          field.dy(fd_order=order1, x0=y + dy) +
-          _half(b, z) * costheta * field.dz(fd_order=order1, x0=z + dz))
-    Gzz = (Gz * costheta).dz(fd_order=order1, x0=z - dz)
-    if sintheta != 0:
-        Gzz += (Gz * sintheta * cosphi).dx(fd_order=order1, x0=x - dx)
-    if sinphi != 0:
-        Gzz += (Gz * sintheta * sinphi).dy(fd_order=order1, x0=y - dy)
-    return Gzz
+
+# retained alias (reference exposes a 2-D variant by name)
+def Gzz_centered_2d(model, field):
+    return Gzz_centered(model, field)
 
 
 def Gh_centered(model, field):
@@ -132,24 +157,98 @@ def kernel_centered(model, u, v, forward=True, qu=0, qv=0):
                                     forward=forward)
 
 
+def particle_velocities(model, space_order):
+    """Edge-staggered particle-velocity fields for the staggered TTI
+    kernel (reference: particle_velocity_fields, tti/operators.py:236)."""
+    dims = model.space_dimensions
+    names = ('vx', 'vy', 'vz')[:len(dims)] if model.dim == 3 \
+        else ('vx', 'vz')
+    return [TimeFunction(name=nm, grid=model.grid, staggered=d,
+                         time_order=1, space_order=space_order)
+            for nm, d in zip(names, dims)]
+
+
+def kernel_staggered(model, u, v, forward=True, qu=0, qv=0):
+    """First-order (velocity/pressure-pair) TTI system on a staggered
+    grid (reference: kernel_staggered_2d/3d, tti/operators.py:263-413):
+
+        d/dt w_i = -D_i' p        (w = rotated particle velocities)
+        m du/dt  = -(1+2eps) sum_h D_h' w_h - sqrt(1+2delta) D_z' w_z
+        m dv/dt  = -sqrt(1+2delta) sum_h D_h' w_h - D_z' w_z
+
+    where D_i' are directional derivatives along the rotated frame
+    (rotation_rows) and the horizontal rows are driven by ``u``, the
+    symmetry axis by ``v``."""
+    m, epsilon, delta = model.m, model.epsilon, model.delta
+    epsilon = 1 + 2 * epsilon
+    delta = sqrt(1 + 2 * delta)
+    dampl = 1 - model.damp
+    s = model.grid.stepping_dim.spacing
+
+    rows = rotation_rows(model)
+    vels = particle_velocities(model, u.space_order)
+    # horizontal rows carry u's rotated gradient, the z' row carries v's
+    drivers = [u] * (len(rows) - 1) + [v]
+
+    eqs = []
+    if forward:
+        for w, row, f in zip(vels, rows, drivers):
+            grad = rotated_dir_derivative(model, f, row)
+            eqs.append(Eq(w.forward, dampl * w - dampl * s * grad))
+        divs = [rotated_dir_derivative(model, w.forward, row)
+                for w, row in zip(vels, rows)]
+        dh, dz = sum(divs[:-1]), divs[-1]
+        eqs.append(Eq(v.forward,
+                      dampl * (v - s / m * (delta * dh + dz)) + s / m * qv))
+        eqs.append(Eq(u.forward,
+                      dampl * (u - s / m * (epsilon * dh + delta * dz))
+                      + s / m * qu))
+    else:
+        # adjoint: product-form (transpose) directional derivatives of the
+        # Thomsen-weighted field combinations
+        a = epsilon * u + delta * v
+        b = delta * u + v
+        combos = [a] * (len(rows) - 1) + [b]
+        for w, row, f in zip(vels, rows, combos):
+            grad = rotated_dir_derivative(model, f, row, product=True)
+            eqs.append(Eq(w.backward, dampl * w + dampl * s * grad))
+        divs = [rotated_dir_derivative(model, w.backward, row,
+                                       product=True)
+                for w, row in zip(vels, rows)]
+        dh, dz = sum(divs[:-1]), divs[-1]
+        eqs.append(Eq(v.backward, dampl * (v + s / m * dz)))
+        eqs.append(Eq(u.backward, dampl * (u + s / m * dh)))
+    return eqs
+
+
+def _tti_wavefields(model, geometry, space_order, kernel, names=('u', 'v'),
+                    save=False):
+    """u/v pair for a TTI kernel: 2nd-order in time at default stagger for
+    'centered'; 1st-order at NODE for 'staggered'."""
+    from ...types.basic import NODE
+    to = 1 if kernel == 'staggered' else 2
+    stagg = NODE if kernel == 'staggered' else None
+    save_t = geometry.nt if save else None
+    return [TimeFunction(name=nm, grid=model.grid, staggered=stagg,
+                         save=save_t, time_order=to,
+                         space_order=space_order) for nm in names]
+
+
 def TTIForwardOperator(model, geometry, space_order=4, save=False,
                        kernel='centered', **kwargs):
     """Reference: tti ForwardOperator (operators.py:415)."""
-    if kernel != 'centered':
-        raise NotImplementedError("staggered TTI kernel: later round")
     dt = model.grid.time_dim.spacing
     m = model.m
-    u = TimeFunction(name='u', grid=model.grid,
-                     save=geometry.nt if save else None,
-                     time_order=2, space_order=space_order)
-    v = TimeFunction(name='v', grid=model.grid,
-                     save=geometry.nt if save else None,
-                     time_order=2, space_order=space_order)
+    u, v = _tti_wavefields(model, geometry, space_order, kernel, save=save)
     src = geometry.src
     rec = geometry.rec
 
-    stencils = kernel_centered(model, u, v)
-    expr = src * dt ** 2 / m
+    if kernel == 'staggered':
+        stencils = kernel_staggered(model, u, v)
+        expr = src * dt / m
+    else:
+        stencils = kernel_centered(model, u, v)
+        expr = src * dt ** 2 / m
     stencils += [src.inject(field=(u.forward, v.forward), expr=expr)]
     stencils += [rec.interpolate(expr=u + v)]
     op = Operator(stencils, subs=model.spacing_map, name='ForwardTTI',
@@ -163,15 +262,17 @@ def TTIAdjointOperator(model, geometry, space_order=4, kernel='centered',
     """Reference: tti AdjointOperator (operators.py:467)."""
     dt = model.grid.time_dim.spacing
     m = model.m
-    p = TimeFunction(name='p', grid=model.grid, time_order=2,
-                     space_order=space_order)
-    r = TimeFunction(name='r', grid=model.grid, time_order=2,
-                     space_order=space_order)
+    p, r = _tti_wavefields(model, geometry, space_order, kernel,
+                           names=('p', 'r'))
     srca = geometry.new_src(name='srca', src_type=None)
     rec = geometry.rec
 
-    stencils = kernel_centered(model, p, r, forward=False)
-    expr = rec * dt ** 2 / m
+    if kernel == 'staggered':
+        stencils = kernel_staggered(model, p, r, forward=False)
+        expr = rec * dt / m
+    else:
+        stencils = kernel_centered(model, p, r, forward=False)
+        expr = rec * dt ** 2 / m
     stencils += [rec.inject(field=(p.backward, r.backward), expr=expr)]
     stencils += [srca.interpolate(expr=p + r)]
     op = Operator(stencils, subs=model.spacing_map, name='AdjointTTI',
@@ -271,11 +372,11 @@ class AnisotropicWaveSolver:
         src = src if src is not None else self.geometry.src
         rec = rec if rec is not None else self.geometry.rec
         op = self.op_fwd(save)
-        save_t = self.geometry.nt if save else None
-        u = u or TimeFunction(name='u', grid=self.model.grid, save=save_t,
-                              time_order=2, space_order=self.space_order)
-        v = v or TimeFunction(name='v', grid=self.model.grid, save=save_t,
-                              time_order=2, space_order=self.space_order)
+        if u is None or v is None:
+            un, vn = _tti_wavefields(self.model, self.geometry,
+                                     self.space_order, self.kernel,
+                                     save=save)
+            u, v = u or un, v or vn
         model = model or self.model
         kwargs.update(model.physical_params(**kwargs))
         summary = op.apply(src=src, rec=rec, u=u, v=v,
@@ -331,12 +432,20 @@ class AnisotropicWaveSolver:
         op = self.op_adj()
         srca = srca if srca is not None else self.geometry.new_src(
             name='srca', src_type=None)
-        p = p or TimeFunction(name='p', grid=self.model.grid, time_order=2,
-                              space_order=self.space_order)
-        r = r or TimeFunction(name='r', grid=self.model.grid, time_order=2,
-                              space_order=self.space_order)
+        if p is None or r is None:
+            pn, rn = _tti_wavefields(self.model, self.geometry,
+                                     self.space_order, self.kernel,
+                                     names=('p', 'r'))
+            p, r = p or pn, r or rn
         model = model or self.model
         kwargs.update(model.physical_params(**kwargs))
+        if self.kernel == 'staggered':
+            # 1st-order system: the adjoint loop must run over exactly the
+            # forward's iterations [0, nt-2] — any one-step window offset
+            # shifts the whole adjoint map by one time sample (verified
+            # exactly on the src->rec transfer matrix)
+            kwargs.setdefault('time_m', 0)
+            kwargs.setdefault('time_M', self.geometry.nt - 2)
         summary = op.apply(rec=rec, srca=srca, p=p, r=r,
                            dt=kwargs.pop('dt', self.dt), **kwargs)
         return srca, p, r, summary
