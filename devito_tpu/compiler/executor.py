@@ -74,7 +74,20 @@ def step_row(t, toff, m):
     return jnp.mod(t + toff, m).astype(np.int32)
 
 
-def _resolve_time_indexed(bufs, fn, tk, toff, t, direction):
+def save_row(t, toff, params, fn):
+    """Buffer row of a ``save`` access at time ``t + toff``. Under host
+    streaming (operator.py _apply_streamed) the streamed function's device
+    buffer holds only a window of rows and ``__save_base_<name>__`` (a
+    traced scalar riding the params) is the time of row 0; for
+    non-streamed functions (sparse source/receiver rows included) the
+    base is 0."""
+    base = 0
+    if params is not None:
+        base = params.get(f'__save_base_{fn.name}__', 0)
+    return t + toff - base
+
+
+def _resolve_time_indexed(bufs, fn, tk, toff, t, direction, params=None):
     """Return the (3-d or lower) array for a time-resolved access."""
     import jax
     buf = bufs[fn.name]
@@ -87,7 +100,8 @@ def _resolve_time_indexed(bufs, fn, tk, toff, t, direction):
         return jax.lax.dynamic_index_in_dim(
             buf, step_row(t, toff, fn._time_size), 0, keepdims=False)
     if tk == 'save':
-        return jax.lax.dynamic_index_in_dim(buf, t + toff, 0, keepdims=False)
+        return jax.lax.dynamic_index_in_dim(
+            buf, save_row(t, toff, params, fn), 0, keepdims=False)
     if tk == 'cond':
         factor = fn.dimensions[0].factor or 1
         return jax.lax.dynamic_index_in_dim(buf, t // factor + toff, 0,
@@ -112,7 +126,7 @@ def _use_pallas():
     return False, False
 
 
-def _target_prev(eq, bufs, t, direction):
+def _target_prev(eq, bufs, t, direction, params=None):
     """Current (pre-update) content of the buffer slot ``eq`` writes."""
     import jax
     name = eq.target.name
@@ -123,8 +137,9 @@ def _target_prev(eq, bufs, t, direction):
             0, keepdims=False)
     buf = bufs[name]
     if tk == 'save':
-        return jax.lax.dynamic_index_in_dim(buf, t + eq.time_off, 0,
-                                            keepdims=False)
+        return jax.lax.dynamic_index_in_dim(
+            buf, save_row(t, eq.time_off, params, eq.target), 0,
+            keepdims=False)
     if tk == 'cond':
         factor = eq.cond_factor or 1
         return jax.lax.dynamic_index_in_dim(buf, t // factor + eq.time_off,
@@ -173,7 +188,7 @@ def _exec_dense(eq, bufs, params, t, direction, strips=None):
         if plan is not None:
             resolved = [
                 _resolve_time_indexed(bufs, g['fn'], g['tk'], g['toff'], t,
-                                      direction)
+                                      direction, params=params)
                 for g in plan.groups]
             tp = None
             if plan.fullz:
@@ -181,7 +196,7 @@ def _exec_dense(eq, bufs, params, t, direction, strips=None):
                 # kernel emit complete lane rows so the DUS below is
                 # lane-aligned (a z-offset DUS costs a cross-lane rotation
                 # of the whole buffer)
-                tp = _target_prev(eq, bufs, t, direction)
+                tp = _target_prev(eq, bufs, t, direction, params=params)
             val = pb.execute_plan(plan, resolved, params, interpret,
                                   target_prev=tp)
             val_fullz = plan.fullz and tp is not None
@@ -221,7 +236,7 @@ def _exec_dense(eq, bufs, params, t, direction, strips=None):
 
     buf = bufs[name]
     if tk == 'save':
-        tidx = t + eq.time_off
+        tidx = save_row(t, eq.time_off, params, eq.target)
     elif tk == 'cond':
         factor = eq.cond_factor or 1
         tidx = t // factor + eq.time_off
@@ -402,7 +417,7 @@ def _exec_sparse(item, bufs, params, t, geom_cache, direction,
         buf = bufs[field.name]
         contrib = (W * val).astype(buf.dtype)
         if item.field_time_kind == 'save':
-            tidx = t + item.field_time_off
+            tidx = save_row(t, item.field_time_off, params, item.field)
             buf = buf.at[(tidx,) + sidx].add(contrib)
         else:
             buf = buf.at[sidx].add(contrib)
@@ -430,8 +445,8 @@ def build_runner(schedule, write_names, stepping_info=None, errctl=None,
     when running inside shard_map; localizes sparse scatter/gather
     indices and psums interpolation partial sums.
 
-    ``errctl``: name of a stepping TimeFunction to stability-scan every 100
-    steps inside the loop (reference: passes/iet/errors.py:79 — the C
+    ``errctl``: tuple of stepping TimeFunction names to stability-scan
+    every 100 steps inside the loop (reference: passes/iet/errors.py:79 — the C
     codegen emits ``if (t % 100 == 0) if (!isfinite(sum)) break``); here the
     flag rides the fori_loop carry and turns the remaining iterations into
     no-ops via lax.cond, and apply() raises ExecutionError.
@@ -525,10 +540,13 @@ def build_runner(schedule, write_names, stepping_info=None, errctl=None,
                     def _go(cin):
                         out = step(i, cin)
                         t = time_m + i if forward else time_M - i
-                        # errctl names a stepping fn: probe one row of
-                        # the stacked buffer (any row is at most m steps
-                        # stale, matching the reference's sampled scan)
-                        bad = ~jnp.isfinite(jnp.sum(out[errctl][0]))
+                        # errctl names the written stepping fns: probe one
+                        # row of each stacked buffer (any row is at most m
+                        # steps stale, matching the reference's sampled
+                        # scan over all written fields, errors.py:20)
+                        bad = jnp.bool_(False)
+                        for nm in errctl:
+                            bad |= ~jnp.isfinite(jnp.sum(out[nm][0]))
                         do_check = jnp.mod(t, 100) == 0
                         out['__err__'] = jnp.where(do_check, bad, False)
                         return out

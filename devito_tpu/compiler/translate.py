@@ -168,7 +168,7 @@ class BaseCtx:
         from .executor import _resolve_time_indexed
         tk, toff = time_access_of(access)
         return _resolve_time_indexed(self.buffers, fn, tk, toff, self.t,
-                                     self.direction)
+                                     self.direction, params=self.params)
 
 
 class DenseCtx(BaseCtx):

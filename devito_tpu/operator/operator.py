@@ -29,6 +29,8 @@ from .profiling import PerformanceSummary
 
 __all__ = ['Operator']
 
+_uneven_warned = set()
+
 
 class Operator:
     """Compile a list of expressions into a callable kernel.
@@ -68,7 +70,7 @@ class Operator:
             # TimeFunction; on non-finite, halt the loop and raise)
             cands = sorted(n for n in self._writes
                            if n in self._stepping_info)
-            errctl = cands[0] if cands else None
+            errctl = tuple(cands) if cands else None
         self._errctl = errctl
         self._runner = build_runner(self._schedule, tuple(self._writes),
                                     stepping_info=self._stepping_info,
@@ -154,6 +156,38 @@ class Operator:
                 break
 
         self._zcompact_candidates = self._find_zcompact_candidates()
+        self._save_spans = self._find_save_spans()
+
+    def _find_save_spans(self):
+        """{name: (off_min, off_max)} of time offsets at which each dense
+        ``save``-kind TimeFunction is accessed — sizes the device window
+        under host streaming (Operator._apply_streamed)."""
+        spans = {}
+
+        def _note(fn, off):
+            lo, hi = spans.get(fn.name, (0, 0))
+            spans[fn.name] = (min(lo, off), max(hi, off))
+
+        for it in self._schedule.all_items:
+            accs = []
+            if isinstance(it, LoweredEq):
+                accs = list(retrieve_functions(it.rhs))
+                if it.condition is not None:
+                    accs += list(retrieve_functions(it.condition))
+                if it.lhs_access is not None:
+                    accs.append(it.lhs_access)
+            elif isinstance(it, LoweredSparse):
+                accs = list(retrieve_functions(it.expr))
+                if it.kind == 'inject' and it.field_time_kind == 'save':
+                    _note(it.field, it.field_time_off or 0)
+            for a in accs:
+                fn = a.function
+                if fn.is_SparseFunction:
+                    continue
+                tk, off = time_access_of(a)
+                if tk == 'save':
+                    _note(fn, off)
+        return spans
 
     def _find_zcompact_candidates(self):
         """Dense functions eligible for the z-compact device layout (see
@@ -316,15 +350,28 @@ class Operator:
         return jax.jit(self._runner).lower(
             wbufs, rbufs, params, np.int32(tm), np.int32(tM)).as_text()
 
-    def estimate_memory(self, **kwargs):
+    def estimate_memory(self, layers=False, **kwargs):
         """Bytes of device memory the operator's buffers require
-        (reference: operator.py estimate_memory:909)."""
-        total = 0
+        (reference: operator.py estimate_memory:909). With ``layers=True``
+        returns ``{'device': ..., 'host': ...}`` reflecting save-wavefield
+        host streaming (only a rows-window of streamed buffers lives in
+        HBM; the full history lives in host memory)."""
+        plan = self._plan_streaming(dict(self._reads))
+        device = host = 0
         for fn in self._reads.values():
-            total += int(np.prod(fn.shape_allocated)) * fn.dtype.itemsize
+            shape = getattr(fn, 'shape_device', None) or fn.shape_allocated
+            nbytes = int(np.prod(shape)) * fn.dtype.itemsize
+            if plan is not None and fn.name in plan['fns']:
+                row = int(np.prod(shape[1:])) * fn.dtype.itemsize
+                device += row * plan['rows']
+                host += nbytes
+            else:
+                device += nbytes
             if fn.is_SparseFunction:
-                total += fn._coords_host.nbytes
-        return total
+                device += fn._coords_host.nbytes
+        if layers:
+            return {'device': device, 'host': host}
+        return device
 
     # -- runtime arguments -------------------------------------------------
 
@@ -393,15 +440,38 @@ class Operator:
                 overrides[k] = v
                 kwargs.pop(k)
 
+        # _arg_check (reference: per-type _arg_check, operator.py:583 —
+        # typed InvalidArgument instead of downstream XLA shape errors)
+        for name, ofn in overrides.items():
+            orig = self._reads.get(name)
+            if orig is None or getattr(ofn, 'is_SparseFunction', False):
+                continue
+            if tuple(ofn.shape) != tuple(orig.shape):
+                raise InvalidArgument(
+                    f"Override `{name}` has shape {tuple(ofn.shape)}; "
+                    f"the Operator was built for {tuple(orig.shape)}")
+            if np.dtype(ofn.dtype) != np.dtype(orig.dtype):
+                raise InvalidArgument(
+                    f"Override `{name}` has dtype {np.dtype(ofn.dtype)}; "
+                    f"the Operator was built for {np.dtype(orig.dtype)}")
+
         bound = {}
         for name, fn in self._reads.items():
             bound[name] = overrides.get(name, fn)
 
         self._decide_layouts(bound, allow=zcompact)
+        plan = self._plan_streaming(bound) if shard else None
+        self._stream_plan = plan
 
         wbufs, rbufs = {}, {}
         for name, fn in bound.items():
-            arr = fn._device_array()
+            if plan is not None and name in plan['fns']:
+                # host-streamed save wavefield: only a window of rows
+                # lives on device; _apply_streamed pushes/pulls per chunk
+                arr = fn._device_window(plan['span_lo'],
+                                        plan['span_lo'] + plan['rows'])
+            else:
+                arr = fn._device_array()
             if shard:
                 arr = self._maybe_shard(fn, arr)
             if name in self._writes:
@@ -414,7 +484,8 @@ class Operator:
                                            if shard else coords)
 
         # scalar params
-        params = {}
+        params = {f'__save_base_{n}__': np.int32(0)
+                  for n in self._save_spans}
         if self._grid is not None:
             for s, v in self._grid.spacing_map.items():
                 params[s.name] = float(v)
@@ -454,6 +525,16 @@ class Operator:
         if self._schedule.body and time_M is None:
             raise InvalidArgument(
                 "Cannot derive `time_M`; pass time_M= or time=")
+        # out-of-bounds loop ranges against save/sparse row counts would
+        # otherwise clamp silently inside the jitted gathers
+        if self._schedule.body:
+            if time_m is not None and int(time_m) < 0:
+                raise InvalidArgument(f"time_m={time_m} must be >= 0")
+            if (time_M is not None and tM_d is not None
+                    and int(time_M) > int(tM_d)):
+                raise InvalidArgument(
+                    f"time_M={time_M} out of bounds: the smallest "
+                    f"time-sized array allows at most {tM_d}")
 
         unknown = [k for k in kwargs if k not in ('autotune', 'summary')]
         if unknown and not configuration['ignore-unknowns']:
@@ -461,6 +542,100 @@ class Operator:
 
         return (wbufs, rbufs, params, int(time_m or 0), int(time_M or 0),
                 bound)
+
+    def _plan_streaming(self, bound):
+        """Decide host streaming of ``save=nt`` wavefields (the reference's
+        buffering + tasking + Orchestrator analog, passes/clusters/
+        buffering.py:27): when the save buffers exceed the device-memory
+        budget (or save-streaming='on'), the time loop is split into
+        chunks and only a rows-window of each save buffer lives in HBM.
+        Returns None or {'fns', 'K', 'span_lo', 'rows'}."""
+        mode = configuration['save-streaming']
+        if mode == 'off' or not self._schedule.body or not self._save_spans:
+            return None
+        # per-chunk re-execution of prologue/epilogue is only sound for
+        # idempotent assignments
+        for it in self._schedule.prologue + self._schedule.epilogue:
+            if getattr(it, 'increment', False) or \
+                    getattr(it, 'reduction', None):
+                return None
+        fns = {}
+        for name, fn in bound.items():
+            if (name in self._save_spans
+                    and getattr(fn, 'is_TimeFunction', False)
+                    and type(fn)._save is not None
+                    and fn._time_size and fn.shape[0] > 1):
+                fns[name] = fn
+        if not fns:
+            return None
+        budget = int(configuration['save-budget'])
+        total = sum(int(np.prod(fn.shape_device)) * fn.dtype.itemsize
+                    for fn in fns.values())
+        if mode == 'auto' and total <= budget:
+            return None
+        row_bytes = sum(int(np.prod(fn.shape_device[1:])) * fn.dtype.itemsize
+                        for fn in fns.values())
+        span_lo = min(self._save_spans[n][0] for n in fns)
+        span_hi = max(self._save_spans[n][1] for n in fns)
+        span = span_hi - span_lo
+        K = max(4, budget // max(row_bytes, 1) - span)
+        nt = min(fn.shape[0] for fn in fns.values())
+        if K >= nt and mode == 'auto':
+            return None
+        K = min(K, max(nt - 1, 4))
+        return {'fns': fns, 'K': int(K), 'span_lo': int(span_lo),
+                'rows': int(K + span)}
+
+    def _apply_streamed(self, plan, wbufs, rbufs, params, tm, tM, bound):
+        """Chunked time loop: push/pull save-buffer windows between host
+        and device around each K-step chunk (one compiled executable is
+        reused for every chunk — only the `__save_base__` scalar and the
+        time bounds change)."""
+        import jax
+        names = plan['fns']
+        K, lo, rows = plan['K'], plan['span_lo'], plan['rows']
+        fwd = self._schedule.direction >= 0
+        chunks = []
+        c = tm
+        while c <= tM:
+            chunks.append((c, min(c + K - 1, tM)))
+            c += K
+        if not fwd:
+            chunks.reverse()
+
+        elapsed = 0.0
+        err_seen = False
+        for c0, c1 in chunks:
+            base = c0 + lo
+            params2 = dict(params)
+            for name in names:
+                params2[f'__save_base_{name}__'] = np.int32(base)
+            for name, fn in names.items():
+                arr = self._maybe_shard(fn, fn._device_window(base,
+                                                              base + rows))
+                if name in wbufs:
+                    wbufs[name] = arr
+                else:
+                    rbufs[name] = arr
+            compiled, _ = self._compiled(wbufs, rbufs, params2,
+                                         np.int32(c0), np.int32(c1))
+            tic = _time.perf_counter()
+            out = compiled(wbufs, rbufs, params2, np.int32(c0),
+                           np.int32(c1))
+            jax.block_until_ready(out)
+            elapsed += _time.perf_counter() - tic
+            err = out.pop('__err__', None)
+            for name, arr in out.items():
+                if name in names:
+                    bound[name]._absorb_window(arr, base)
+                wbufs[name] = arr  # device carry for the next chunk
+            if err is not None and bool(np.asarray(err)):
+                err_seen = True
+                break
+        for name, arr in wbufs.items():
+            if name not in names:
+                bound[name]._set_device_array(arr)
+        return elapsed, err_seen
 
     def _maybe_shard(self, fn, arr):
         """Under a distributed Grid, lay buffers out over the device mesh
@@ -483,6 +658,16 @@ class Operator:
             for name, t, n in zip(dist.axis_names, dist.topology, shp):
                 # only shard axes whose (padded) extent divides evenly;
                 # others stay replicated along that axis
+                if t > 1 and n % t != 0:
+                    key = (getattr(fn, 'name', '?'), name, t, n)
+                    if key not in _uneven_warned:
+                        _uneven_warned.add(key)
+                        from ..logger import warning
+                        warning(
+                            f"Axis `{name}` of `{getattr(fn, 'name', '?')}`"
+                            f" (extent {n}) does not divide the mesh factor"
+                            f" {t}: replicating along that axis — no"
+                            f" parallel speedup there")
                 spec.append(name if (t > 1 and n % t == 0) else None)
             sharding = NamedSharding(dist.mesh, PartitionSpec(*spec))
         return jax.device_put(arr, sharding)
@@ -622,6 +807,29 @@ class Operator:
                            else 'basic')
             self._autotuned = True
 
+        plan = self._stream_plan if hr is None else None
+        if plan is not None:
+            elapsed, err_seen = self._apply_streamed(
+                plan, wbufs, rbufs, params, time_m, time_M, bound)
+            if err_seen:
+                raise ExecutionError(
+                    f"Stability check failed: non-finite values detected "
+                    f"in `{self._errctl}` (reference errctl='max' "
+                    f"semantics)")
+            nsteps = max(time_M - time_m + 1, 0)
+            flops = self._flops_per_step * nsteps + self._static_flops
+            points = self._points_per_step * nsteps
+            traffic = self._traffic_per_step * nsteps
+            summary = PerformanceSummary()
+            summary.add('section0', elapsed, flops=flops, points=points,
+                        traffic=traffic)
+            summary.add_glb(elapsed, flops=flops, points=points,
+                            traffic=traffic)
+            e = summary['section0']
+            log_perf(f"Operator `{self._name}` ran in {elapsed:.4f} s "
+                     f"(host-streamed save) [{e.gpointss:.2f} GPts/s]")
+            return summary
+
         tm = _np.int32(time_m)
         tM = _np.int32(time_M)
         if hr is not None:
@@ -664,8 +872,7 @@ class Operator:
         # check_stability -> ExecutionError)
         if configuration['develop-mode']:
             for name, arr in out.items():
-                if not bool(_np.isfinite(
-                        _np.asarray(arr).ravel()[:1000]).all()):
+                if not bool(_np.isfinite(_np.asarray(arr)).all()):
                     raise ExecutionError(
                         f"Detected nan/inf in `{name}` output")
 

@@ -52,7 +52,10 @@ def halo_scheme(schedule):
             for j, o in enumerate(offs):
                 cur[j] = max(cur[j], abs(o))
 
-    for it in schedule.body:
+    # prologue/epilogue included: hoisted invariants (e.g. a lifted
+    # parameter derivative) read their operands at offsets outside the
+    # time loop and need filled halos just the same
+    for it in schedule.all_items:
         if isinstance(it, LoweredEq):
             scan_expr(it.rhs)
             if it.condition is not None:

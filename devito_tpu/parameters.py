@@ -60,6 +60,12 @@ configuration.add('backend', 'auto', accepted=['auto', 'xla', 'pallas'])
 # path (parallel/halo.py) when the schedule is eligible, else GSPMD;
 # 'gspmd' forces the XLA SPMD partitioner; 'explicit' errors if ineligible
 configuration.add('halo', 'auto', accepted=['auto', 'explicit', 'gspmd'])
+# save=nt wavefield host streaming (the reference's buffering + tasking
+# + Orchestrator analog, devito/passes/clusters/buffering.py:27): 'auto'
+# streams when the save buffers exceed `save-budget` bytes of device
+# memory, 'on' always streams, 'off' keeps full device residency.
+configuration.add('save-streaming', 'auto', accepted=['auto', 'on', 'off'])
+configuration.add('save-budget', 4 << 30)
 configuration.add('develop-mode', False, accepted=[True, False])
 configuration.add('safe-math', False, accepted=[True, False])
 configuration.add('autotuning', 'off', accepted=['off', 'basic', 'aggressive'])

@@ -228,6 +228,44 @@ class DiscreteFunction(AbstractFunction):
         cls._dev_buf = arr
         cls._coh = self._DEV
 
+    def _device_window(self, lo, hi):
+        """Device-layout window of save rows ``[lo, hi)`` (rows outside
+        ``[0, nt)`` zero-padded) — host-streaming support (the reference's
+        buffering/Orchestrator analog; Operator._apply_streamed)."""
+        import jax.numpy as jnp
+        cls = type(self)
+        host = self._ensure_host()
+        nt = self.shape[0]
+        rows = hi - lo
+        a0, a1 = max(lo, 0), min(hi, nt)
+        win = np.zeros((rows,) + host.shape[1:], dtype=self.dtype)
+        if a1 > a0:
+            win[a0 - lo:a1 - lo] = host[a0:a1]
+        if cls._dev_layout == 'zcompact':
+            hl, _ = cls._halo[-1]
+            n = cls._space_shape[-1]
+            win = win[..., hl:hl + n]
+        return jnp.asarray(win)
+
+    def _absorb_window(self, arr, lo):
+        """Write a device-layout window of save rows back into the host
+        buffer starting at row ``lo`` (host becomes authoritative)."""
+        cls = type(self)
+        host = self._allocate()
+        a = np.asarray(arr)
+        nt = self.shape[0]
+        a0, a1 = max(lo, 0), min(lo + a.shape[0], nt)
+        if a1 > a0:
+            src = a[a0 - lo:a1 - lo]
+            if a.shape[1:] != host.shape[1:]:  # z-compact device layout
+                hl, _ = cls._halo[-1]
+                n = cls._space_shape[-1]
+                host[a0:a1, ..., hl:hl + n] = src
+            else:
+                host[a0:a1] = src
+        cls._coh = self._HOST
+        cls._dev_buf = None
+
     @property
     def data(self):
         """Writable numpy view over the domain region."""

@@ -1,0 +1,64 @@
+"""Runtime-argument validation (reference: per-type _arg_check,
+devito/operator/operator.py:583 — typed InvalidArgument errors instead of
+downstream XLA shape errors or silent index clamping)."""
+
+import numpy as np
+import pytest
+
+from devito_tpu import (Grid, TimeFunction, Function, Eq, Operator, solve,
+                        InvalidArgument)
+from devito_tpu.models.seismic import acoustic_setup
+
+
+def _op(shape=(24, 24), save=None, dtype=np.float32):
+    grid = Grid(shape=shape, extent=tuple(float(s - 1) for s in shape),
+                dtype=dtype)
+    u = TimeFunction(name='u', grid=grid, time_order=2, space_order=4,
+                     save=save)
+    st = solve(u.dt2 - u.laplace, u.forward)
+    return grid, u, Operator(Eq(u.forward, st), subs=grid.spacing_map)
+
+
+def test_override_shape_mismatch_raises():
+    grid, u, op = _op()
+    other = Grid(shape=(30, 30), extent=(29., 29.))
+    u2 = TimeFunction(name='u', grid=other, time_order=2, space_order=4)
+    with pytest.raises(InvalidArgument, match="shape"):
+        op.apply(u=u2, time_M=3, dt=0.1)
+
+
+def test_override_dtype_mismatch_raises():
+    grid, u, op = _op()
+    g64 = Grid(shape=(24, 24), extent=(23., 23.), dtype=np.float64)
+    u2 = TimeFunction(name='u', grid=g64, time_order=2, space_order=4)
+    with pytest.raises(InvalidArgument, match="dtype"):
+        op.apply(u=u2, time_M=3, dt=0.1)
+
+
+def test_time_M_out_of_bounds_raises():
+    grid, u, op = _op(save=12)
+    with pytest.raises(InvalidArgument, match="out of bounds"):
+        op.apply(time_M=40, dt=0.1)
+
+
+def test_negative_time_m_raises():
+    grid, u, op = _op()
+    with pytest.raises(InvalidArgument, match="time_m"):
+        op.apply(time_m=-2, time_M=3, dt=0.1)
+
+
+def test_unknown_kwarg_raises():
+    grid, u, op = _op()
+    with pytest.raises(InvalidArgument, match="Unknown"):
+        op.apply(time_M=3, dt=0.1, bogus=1)
+
+
+def test_src_time_M_bound_matches_reference():
+    """Default forward bounds derive from the source row count; explicitly
+    exceeding them is rejected instead of clamping gather rows."""
+    solver = acoustic_setup(shape=(24, 24), spacing=[12.5, 12.5], nbl=4,
+                            tn=100., space_order=4,
+                            preset='layers-isotropic')
+    nt = solver.geometry.nt
+    with pytest.raises(InvalidArgument, match="out of bounds"):
+        solver.forward(time_M=nt + 10)
