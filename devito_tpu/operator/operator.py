@@ -32,6 +32,21 @@ __all__ = ['Operator']
 _uneven_warned = set()
 
 
+def _compile_kwargs():
+    """Backend compiler options from configuration['xla-options'] ('k=v,...'
+    — the reference compiler-flags analog, arch/compiler.py:151)."""
+    import jax
+    spec = configuration['xla-options']
+    if not spec or jax.default_backend() == 'cpu':
+        return {}
+    opts = {}
+    for kv in str(spec).split(','):
+        if '=' in kv:
+            k, v = kv.split('=', 1)
+            opts[k.strip()] = v.strip()
+    return {'compiler_options': opts} if opts else {}
+
+
 class Operator:
     """Compile a list of expressions into a callable kernel.
 
@@ -746,7 +761,8 @@ class Operator:
             return hit, False
         tic = _time.perf_counter()
         jitted = jax.jit(self._runner, donate_argnums=(0,))
-        compiled = jitted.lower(wbufs, rbufs, params, tm, tM).compile()
+        compiled = jitted.lower(wbufs, rbufs, params, tm, tM).compile(
+            **_compile_kwargs())
         jit_time = _time.perf_counter() - tic
         self._jit_cache[key] = compiled
         log_perf(f"Operator `{self._name}` jit-compiled in {jit_time:.2f} s")
@@ -786,7 +802,8 @@ class Operator:
             return hit
         import jax
         f = hr._make(tuple(wbufs), tuple(rbufs), tuple(params))
-        compiled = f.lower(wbufs, rbufs, params, tm, tM).compile()
+        compiled = f.lower(wbufs, rbufs, params, tm, tM).compile(
+            **_compile_kwargs())
         self._jit_cache[key] = compiled
         return compiled
 

@@ -60,6 +60,10 @@ configuration.add('backend', 'auto', accepted=['auto', 'xla', 'pallas'])
 # path (parallel/halo.py) when the schedule is eligible, else GSPMD;
 # 'gspmd' forces the XLA SPMD partitioner; 'explicit' errors if ineligible
 configuration.add('halo', 'auto', accepted=['auto', 'explicit', 'gspmd'])
+# XLA backend compiler options, 'k=v,k2=v2' (the analog of the
+# reference's compiler-flags registry, arch/compiler.py): passed to every
+# executable compile, e.g. 'xla_tpu_msa_use_minimalloc=true'
+configuration.add('xla-options', '')
 # save=nt wavefield host streaming (the reference's buffering + tasking
 # + Orchestrator analog, devito/passes/clusters/buffering.py:27): 'auto'
 # streams when the save buffers exceed `save-budget` bytes of device
@@ -84,6 +88,7 @@ _ENV_MAP = {
     'DEVITO_TPU_OPT': 'opt',
     'DEVITO_TPU_BACKEND': 'backend',
     'DEVITO_TPU_HALO': 'halo',
+    'DEVITO_TPU_XLA_OPTIONS': 'xla-options',
     'DEVITO_TPU_DEVELOP': 'develop-mode',
     'DEVITO_TPU_SAFE_MATH': 'safe-math',
     'DEVITO_TPU_AUTOTUNING': 'autotuning',
