@@ -63,6 +63,9 @@ class PointSource(SparseTimeFunction):
         cls._init_data = data
         kwargs.setdefault('nt', time_range.num if time_range else None)
         super().__init_metadata__(**kwargs)
+        # keep acquisition metadata reconstructible (pickling)
+        cls._constructor_kwargs.update(time_range=time_range, f0=f0, a=a,
+                                       t0=cls._t0w)
 
     def __init_finalize__(self):
         cls = type(self)

@@ -94,17 +94,48 @@ class Operator:
         self._estimate_flops()
         self._build_time = _time.perf_counter() - tic
 
+    # -- pickling -----------------------------------------------------------
+    # (reference: operator.py __getstate__:1203 ships the generated C with
+    # the pickle; here the runner retraces from the pickled schedule and
+    # XLA recompiles on first apply)
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        for k in ('_runner', '_jit_cache', '_halo_runner', '_stream_plan',
+                  '_tile_override', '_autotuned'):
+            state.pop(k, None)
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        for it in self._schedule.all_items:
+            it.__dict__.pop('_pallas_plan', None)
+        self._jit_cache = {}
+        self._runner = build_runner(self._schedule, tuple(self._writes),
+                                    stepping_info=self._stepping_info,
+                                    errctl=self._errctl)
+
     # -- lowering metadata -------------------------------------------------
 
     def _collect(self):
         reads = OrderedDict()
         writes = OrderedDict()
         sparse = OrderedDict()
+        # every distinct function OBJECT per name: schedule expressions may
+        # hold separate copies of the "same" function (unpickled operators
+        # do), and device-layout flags must stay in sync across all of them
+        instances = {}
+
+        def _track(fn):
+            fam = instances.setdefault(fn.name, [])
+            if not any(f is fn for f in fam):
+                fam.append(fn)
 
         def _add_expr_fns(expr):
             for a in retrieve_functions(expr):
                 fn = a.function
                 reads[fn.name] = fn
+                _track(fn)
                 if fn.is_SparseFunction:
                     sparse[fn.name] = fn
 
@@ -112,18 +143,22 @@ class Operator:
             if isinstance(it, LoweredEq):
                 writes[it.target.name] = it.target
                 reads[it.target.name] = it.target
+                _track(it.target)
                 _add_expr_fns(it.rhs)
                 if it.condition is not None:
                     _add_expr_fns(it.condition)
             elif isinstance(it, LoweredSparse):
                 sparse[it.sparse.name] = it.sparse
                 reads[it.sparse.name] = it.sparse
+                _track(it.sparse)
                 _add_expr_fns(it.expr)
                 if it.kind == 'interp':
                     writes[it.sparse.name] = it.sparse
                 else:
                     writes[it.field.name] = it.field
                     reads[it.field.name] = it.field
+                    _track(it.field)
+        self._fn_instances = instances
 
         # rolling-buffer (SteppingDimension) functions: the executor carries
         # them as rotated slot tuples, so any body-read one must live in the
@@ -272,13 +307,12 @@ class Operator:
                 if dist is None or dist.topology[-1] == 1:
                     want = 'zcompact'
             fn.set_device_layout(want)
-            # the schedule's expressions hold the function the Operator was
-            # built with; when `fn` is a per-apply override the translator
-            # consults the original's layout flags — keep them in agreement
-            orig = self._reads.get(name)
-            if orig is not None and orig is not fn and hasattr(
-                    orig, 'set_device_layout'):
-                orig.set_device_layout(want)
+            # the schedule's expressions may hold other instances of this
+            # function (per-apply overrides, unpickled copies); the
+            # translator consults THEIR layout flags — keep all in sync
+            for alias in self._fn_instances.get(name, ()):
+                if alias is not fn and hasattr(alias, 'set_device_layout'):
+                    alias.set_device_layout(want)
 
     def _estimate_flops(self):
         per_step = 0
@@ -374,7 +408,9 @@ class Operator:
         plan = self._plan_streaming(dict(self._reads))
         device = host = 0
         for fn in self._reads.values():
-            shape = getattr(fn, 'shape_device', None) or fn.shape_allocated
+            # padded layout = conservative upper bound, independent of the
+            # per-apply z-compact decision
+            shape = fn.shape_allocated
             nbytes = int(np.prod(shape)) * fn.dtype.itemsize
             if plan is not None and fn.name in plan['fns']:
                 row = int(np.prod(shape[1:])) * fn.dtype.itemsize
@@ -584,12 +620,13 @@ class Operator:
         if not fns:
             return None
         budget = int(configuration['save-budget'])
-        total = sum(int(np.prod(fn.shape_device)) * fn.dtype.itemsize
+        total = sum(int(np.prod(fn.shape_allocated)) * fn.dtype.itemsize
                     for fn in fns.values())
         if mode == 'auto' and total <= budget:
             return None
-        row_bytes = sum(int(np.prod(fn.shape_device[1:])) * fn.dtype.itemsize
-                        for fn in fns.values())
+        row_bytes = sum(
+            int(np.prod(fn.shape_allocated[1:])) * fn.dtype.itemsize
+            for fn in fns.values())
         span_lo = min(self._save_spans[n][0] for n in fns)
         span_hi = max(self._save_spans[n][1] for n in fns)
         span = span_hi - span_lo

@@ -179,9 +179,42 @@ class AbstractFunction(Differentiable, sympy.Function):
 
     # Pickling support for dynamically created classes
     def __reduce_ex__(self, protocol):
+        import numpy as np
         meta = dict(type(self)._constructor_kwargs)
+        cls = type(self)
+        state = {}
+        # carry the data with the pickle (reference semantics: pickled
+        # Functions/Operators ship their buffers, tests/test_pickle.py)
+        if getattr(cls, '_coh', None) == 'dev' and \
+                getattr(cls, '_dev_buf', None) is not None:
+            self._ensure_host()
+        if getattr(cls, '_host_buf', None) is not None:
+            state['host_buf'] = np.array(cls._host_buf)
+            state['halo_state'] = getattr(cls, '_halo_state', 'zero')
+        if getattr(cls, '_coords_host', None) is not None:
+            state['coords'] = np.array(cls._coords_host)
         return (_reconstruct_function,
-                (type(self).__bases__[0], meta, tuple(self.args)))
+                (type(self).__bases__[0], meta, tuple(self.args)),
+                state or None)
+
+    def __setstate__(self, state):
+        import numpy as np
+        if not state:
+            return
+        cls = type(self)
+        buf = state.get('host_buf')
+        if buf is not None and hasattr(self, '_allocate'):
+            self._allocate()
+            if cls._host_buf.shape == buf.shape:
+                np.copyto(cls._host_buf, buf)
+                cls._coh = 'host'
+                cls._dev_buf = None
+        hs = state.get('halo_state')
+        if hs is not None:
+            cls._halo_state = hs
+        coords = state.get('coords')
+        if coords is not None and hasattr(cls, '_coords_host'):
+            cls._coords_host = coords
 
     def __getnewargs_ex__(self):
         return (), {}

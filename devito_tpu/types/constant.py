@@ -29,6 +29,10 @@ class Constant(Differentiable, sympy.Symbol):
         obj._dtype = np.dtype(dtype)
         return obj
 
+    def __getnewargs_ex__(self):
+        return (), {'name': self.name, 'value': self._value,
+                    'dtype': self._dtype}
+
     @property
     def data(self):
         return self._value

@@ -22,6 +22,15 @@ from ..utils import as_tuple
 __all__ = ['DiscreteFunction', 'Function', 'TimeFunction']
 
 
+# Device layouts by function NAME. The layout decision must be visible
+# from EVERY instance family of a function (per-apply overrides and
+# unpickled operators hold distinct generated classes for the "same"
+# function), so the translator-side consults (dev_halo/is_zcompact) key
+# on the name; buffers themselves live on the class that was bound at
+# _prepare time.
+_layout_registry = {}
+
+
 class DiscreteFunction(AbstractFunction):
     """Common data machinery for grid-backed functions."""
 
@@ -133,18 +142,19 @@ class DiscreteFunction(AbstractFunction):
         instead of streaming `round_up(n+2h,128)`-lane rows from HBM
         (measured 1.9x on v5e at 256^3, experiments/stencil_probe8.py)."""
         h = self.halo
-        if type(self)._dev_layout == 'zcompact' and h:
+        if self.is_zcompact and h:
             return h[:-1] + ((0, 0),)
         return h
 
     @property
     def is_zcompact(self):
-        return type(self)._dev_layout == 'zcompact'
+        return _layout_registry.get(self.name,
+                                    type(self)._dev_layout) == 'zcompact'
 
     @property
     def shape_device(self):
         """Shape of the device buffer under the current device layout."""
-        if type(self)._dev_layout != 'zcompact':
+        if not self.is_zcompact:
             return self.shape_allocated
         lead = len(self._leading_slices())
         space = tuple(n + l + r for n, (l, r) in zip(
@@ -155,6 +165,7 @@ class DiscreteFunction(AbstractFunction):
         """Switch the device-buffer layout, syncing any device-authoritative
         data through the host first."""
         cls = type(self)
+        _layout_registry[self.name] = layout
         if cls._dev_layout == layout:
             return
         if cls._coh == self._DEV and cls._dev_buf is not None:
