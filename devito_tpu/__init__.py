@@ -10,6 +10,17 @@ Dimension family, div/grad/curl/laplace, norm/inner/mmax builtins,
 configuration/switchconfig.
 """
 
+import os as _os
+
+# Enable 64-bit computation up front (before any tracing): the reference
+# honors user dtypes (fp64 Functions compute in fp64); without this flag
+# JAX silently truncates float64 buffers to float32. fp32 paths are
+# unaffected — all device buffers carry explicit dtypes and translated
+# constants are weak-typed Python floats. Opt out with DEVITO_TPU_X64=0.
+if _os.environ.get('DEVITO_TPU_X64', '1') != '0':
+    import jax as _jax
+    _jax.config.update('jax_enable_x64', True)
+
 from .parameters import configuration, switchconfig  # noqa
 from .logger import set_log_level, logger, info, perf, warning, error  # noqa
 from .exceptions import (DevitoTpuError, CompilationError, InvalidOperator,  # noqa

@@ -47,6 +47,19 @@ def _expr_stagger(expr, dim):
     return Rational(0)
 
 
+def _expr_any_stagger(expr):
+    """True if any access in ``expr`` is a staggered function (in any
+    dimension) — the reference keys its 2-point first-derivative bias on
+    ``bool(expr.staggered)``, i.e. function-level staggering."""
+    from ..types.basic import retrieve_functions
+    for f in retrieve_functions(expr):
+        fn = f.function
+        for d in getattr(fn, 'space_dimensions', ()):
+            if fn.stagger_offset(d) != 0:
+                return True
+    return False
+
+
 class Derivative(Differentiable, sympy.Expr):
     """An unevaluated finite-difference derivative of an expression.
 
@@ -222,13 +235,24 @@ class Derivative(Differentiable, sympy.Expr):
             elif x0 is not None and dim in x0:
                 target = Rational(x0[dim])
             else:
-                # Default evaluation at the node (reference behavior:
-                # derivatives of staggered fields land on the dual lattice
-                # unless an Eq lhs projects them elsewhere via _eval_at)
-                target = Rational(0)
+                # Default evaluation on the expression's own lattice
+                # (reference behavior: x0 defaults to expr.indices_ref, so
+                # a bare staggered u.dx is the centered derivative at
+                # u's own stagger; an Eq lhs re-projects via _eval_at)
+                target = stag
+            # First derivative at fd_order=2 demotes to the 2-point scheme
+            # (reference generic_derivative:139-141: "strongly discouraged
+            # so taking first order fd that is a lot better"), forward on
+            # time/unstaggered expressions, backward on staggered ones
+            if order == 1 and fo == 2 and self._side is None and \
+                    self._weights is None:
+                fo = 1
+            bias = 'forward' if (dim.is_Time or
+                                 not _expr_any_stagger(result)) \
+                else 'backward'
             pairs = stencil_points(fo, order, x0=target, stagger=stag,
                                    side=self._side,
-                                   transpose=self._transpose)
+                                   transpose=self._transpose, bias=bias)
             if self._weights is not None:
                 pairs = [(k, sympy.sympify(w))
                          for (k, _), w in zip(pairs, self._weights)]

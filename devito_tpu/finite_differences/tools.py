@@ -17,7 +17,8 @@ from sympy import Rational
 __all__ = ['generate_indices', 'fd_weights', 'stencil_points']
 
 
-def generate_indices(fd_order, deriv_order, x0=0, stagger=0, side=None):
+def generate_indices(fd_order, deriv_order, x0=0, stagger=0, side=None,
+                     bias='forward'):
     """Return the integer index shifts ``k_i`` for a stencil evaluating the
     ``deriv_order``-th derivative at physical offset ``x0`` of an expression
     whose accesses sit at physical offset ``stagger``.
@@ -41,9 +42,17 @@ def generate_indices(fd_order, deriv_order, x0=0, stagger=0, side=None):
         ks = [base + i for i in range(fd_order + 1)]
     elif rel.is_integer:
         r = max(fd_order // 2, 1)
-        # For a first/odd derivative with fd_order==1 use a 2-point stencil
+        # For a first/odd derivative with fd_order==1 use a 2-point stencil,
+        # forward-biased on time/unstaggered expressions and backward-biased
+        # on staggered ones (reference generate_indices tie-break,
+        # finite_differences/tools.py:296-301)
         if fd_order == 1:
-            ks = [rel, rel + 1] if deriv_order % 2 else [rel - 1, rel, rel + 1]
+            if deriv_order % 2 == 0:
+                ks = [rel - 1, rel, rel + 1]
+            elif bias == 'backward':
+                ks = [rel - 1, rel]
+            else:
+                ks = [rel, rel + 1]
             ks = [sympy.Integer(k) for k in ks]
         else:
             ks = [rel + i for i in range(-r, r + 1)]
@@ -70,19 +79,22 @@ def fd_weights(deriv_order, points, x0):
 
 
 def stencil_points(fd_order, deriv_order, x0=0, stagger=0, side=None,
-                   transpose=False):
+                   transpose=False, bias='forward'):
     """Return [(k_i, w_i)]: integer index shifts and exact weights.
 
-    ``transpose=True`` returns the adjoint stencil: same weights at negated
-    shifts (the discrete transpose of sum_i w_i S_{k_i} is
-    sum_i w_i S_{-k_i}), which is what the reference's ``Derivative.T``
-    produces for matvec/rmatvec pairs (devito finite_differences/tools.py:12).
+    ``transpose=True`` returns the adjoint stencil with the reference's
+    convention: same weights at negated PHYSICAL offsets (the reference's
+    ``IndexSet.transpose`` maps ``x + p*h -> x - p*h`` with ``p`` including
+    the stagger, tools.py:180-193), i.e. index shifts
+    ``k' = -k - 2*stagger``. For unstaggered expressions this is the plain
+    index negation ``-k``.
     """
     ks = generate_indices(fd_order, deriv_order, x0=x0, stagger=stagger,
-                          side=side)
+                          side=side, bias=bias)
     pts = [k + Rational(stagger) for k in ks]
     ws = fd_weights(deriv_order, pts, Rational(x0))
     pairs = list(zip(ks, ws))
     if transpose:
-        pairs = [(-k, w) for k, w in pairs]
+        s2 = 2 * Rational(stagger)
+        pairs = [(-k - s2, w) for k, w in pairs]
     return pairs

@@ -295,16 +295,20 @@ Model = SeismicModel
 
 
 def demo_model(preset, shape=(51, 51), spacing=(10., 10.), origin=None,
-               nbl=10, space_order=2, vp=1.5, vp_top=1.5, vp_bottom=2.5,
-               dtype=np.float32, **kwargs):
-    """Preset models (reference: preset_models.py — constant and two-layer
-    isotropic subset)."""
+               nbl=10, space_order=2, vp=1.5, vp_top=1.5, vp_bottom=3.5,
+               nlayers=3, dtype=np.float32, **kwargs):
+    """Preset models (reference: preset_models.py — constant, n-layer
+    isotropic, and camembert subset)."""
     origin = origin or tuple(0. for _ in shape)
     if preset in ('constant-isotropic', 'constant'):
         v = np.full(shape, vp, dtype=dtype)
     elif preset in ('layers-isotropic', 'layers'):
+        # n evenly-split layers, velocities linspace(vp_top, vp_bottom)
+        # (reference preset_models.py:120-134)
         v = np.full(shape, vp_top, dtype=dtype)
-        v[..., shape[-1] // 2:] = vp_bottom
+        vp_i = np.linspace(vp_top, vp_bottom, nlayers)
+        for i in range(1, nlayers):
+            v[..., i * int(shape[-1] / nlayers):] = vp_i[i]
     elif preset in ('circle-isotropic',):
         # camembert model (reference: preset_models.py circle-isotropic)
         vp_circle = kwargs.pop('vp_circle', 3.0)

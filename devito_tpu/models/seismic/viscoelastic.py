@@ -66,6 +66,9 @@ class ViscoelasticWaveSolver:
     def __init__(self, model, geometry, space_order=4, **kwargs):
         self.model = model
         self.model._initialize_bcs(bcs="mask")
+        # the viscoelastic system needs a smaller dt than the plain elastic
+        # CFL bound (reference wavesolver.py:33-35)
+        self.model.dt_scale = .9
         self.geometry = geometry
         self.space_order = space_order
         self._kwargs = kwargs

@@ -8,6 +8,7 @@ Hicks 2002). Weight math matches the reference; the lowering is TPU-native
 (vectorized gather/scatter, compiler/executor.py)."""
 
 import numpy as np
+import sympy
 
 from ..finite_differences.differentiable import evaluate_expr
 from ..ir.lowering import LoweredSparse, time_access_of
@@ -30,7 +31,13 @@ class Interpolation:
         self.implicit_dims = implicit_dims
 
     def _lower(self, subs=None):
-        expr = evaluate_expr(self.expr)
+        # sampled expressions evaluate on the node lattice (the
+        # interpolation stencil's anchor points are grid nodes), so
+        # derivatives of staggered fields project there — matches the
+        # reference's rec.interpolate(expr=div(v)) elastic semantics
+        x0 = {d: sympy.Rational(0)
+              for d in self.sparse.grid.dimensions}
+        expr = evaluate_expr(self.expr, x0=x0)
         if subs:
             expr = expr.subs(subs)
         return [LoweredSparse('interp', self.sparse, expr,

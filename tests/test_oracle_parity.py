@@ -1,0 +1,122 @@
+"""Cross-validation against the executed reference implementation.
+
+The oracle harness (tests/oracle/) imports the reference Devito checkout
+with clean-room stand-ins for its absent codegen deps (cgen/codepy/
+anytree/cpuinfo), JIT-compiles its generated C with the system gcc, and
+runs it — so these tests compare our TPU-native results against the
+reference's *own execution*, not against hard-coded numbers.
+
+Skipped automatically when no reference checkout is available.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, __file__.rsplit('/', 1)[0])
+
+from oracle import harness  # noqa: E402
+
+
+pytestmark = pytest.mark.skipif(not harness.available(),
+                                reason="reference oracle unavailable")
+
+
+def test_acoustic_forward_vs_oracle():
+    """2-D acoustic forward: receiver traces match the reference run."""
+    ref = harness.reference()
+    with ref.use():
+        acoustic_setup = ref.import_examples(
+            'seismic.acoustic.acoustic_example').acoustic_setup
+        s = acoustic_setup(shape=(41, 41), spacing=(15., 15.), tn=400.,
+                           space_order=4, nbl=10, preset='layers-isotropic',
+                           dtype=np.float64)
+        rec, u, _ = s.forward()
+        ref_rec = np.asarray(rec.data).copy()
+        ref_dt = s.model.critical_dt
+
+    from devito_tpu.models.seismic import acoustic_setup as our_setup
+    s2 = our_setup(shape=(41, 41), spacing=[15., 15.], tn=400.,
+                   space_order=4, nbl=10, preset='layers-isotropic',
+                   dtype=np.float64)
+    rec2, u2, _ = s2.forward()
+    assert np.isclose(s2.dt, ref_dt, rtol=0, atol=1e-12)
+    assert ref_rec.shape == np.asarray(rec2.data).shape
+    den = np.linalg.norm(ref_rec) or 1.0
+    rel = np.linalg.norm(np.asarray(rec2.data) - ref_rec) / den
+    # fp64 rounding differences (XLA fusion vs gcc op ordering) amplify
+    # through the neutrally-stable wave recursion: machine-eps at t=2
+    # grows to ~1e-9 over the 170-step run. 1e-7 still rejects any
+    # semantic difference (a wrong stencil shows up at 1e-2..1e-3).
+    assert rel < 1e-7, f"receiver mismatch vs oracle: rel={rel:.3e}"
+
+
+def test_viscoelastic_forward_vs_oracle():
+    """Viscoelastic layers model: receiver norms match the reference."""
+    ref = harness.reference()
+    with ref.use():
+        viscoelastic_setup = ref.import_examples(
+            'seismic.viscoelastic.viscoelastic_example').viscoelastic_setup
+        from devito import norm as ref_norm
+        s = viscoelastic_setup(shape=(40, 40), spacing=(20., 20.), tn=400.,
+                               space_order=4, nbl=10, constant=False,
+                               dtype=np.float64)
+        r1, r2, _, _, _ = s.forward()
+        ref1, ref2 = float(ref_norm(r1)), float(ref_norm(r2))
+
+    from devito_tpu.builtins import norm
+    from devito_tpu.models.seismic.viscoelastic import (
+        viscoelastic_setup as our_setup)
+    s2 = our_setup(shape=(40, 40), spacing=(20., 20.), tn=400.,
+                   space_order=4, nbl=10, dtype=np.float64)
+    o1, o2, _, _, _ = s2.forward()
+    assert np.isclose(float(norm(o1)), ref1, rtol=1e-8)
+    assert np.isclose(float(norm(o2)), ref2, rtol=1e-8)
+
+
+def test_elastic_forward_vs_oracle():
+    """Elastic layers model: receiver norms match the reference."""
+    ref = harness.reference()
+    with ref.use():
+        elastic_setup = ref.import_examples(
+            'seismic.elastic.elastic_example').elastic_setup
+        from devito import norm as ref_norm
+        s = elastic_setup(shape=(40, 40), spacing=(15., 15.), tn=400.,
+                          space_order=4, nbl=10, constant=False,
+                          dtype=np.float64)
+        r1, r2, _, _, _ = s.forward()
+        ref1, ref2 = float(ref_norm(r1)), float(ref_norm(r2))
+
+    from devito_tpu.builtins import norm
+    from devito_tpu.models.seismic.elastic import elastic_setup as our_setup
+    s2 = our_setup(shape=(40, 40), spacing=(15., 15.), tn=400.,
+                   space_order=4, nbl=10, dtype=np.float64)
+    o1, o2, _, _, _ = s2.forward()
+    assert np.isclose(float(norm(o1)), ref1, rtol=1e-8)
+    assert np.isclose(float(norm(o2)), ref2, rtol=1e-8)
+
+
+def test_diffusion_operator_vs_oracle():
+    """Raw-DSL diffusion loop: fields match the reference elementwise."""
+    ref = harness.reference()
+    with ref.use():
+        import devito as dv
+        g = dv.Grid(shape=(32, 32), extent=(1., 1.), dtype=np.float64)
+        u = dv.TimeFunction(name='u', grid=g, space_order=2)
+        u.data[0] = np.outer(np.sin(np.linspace(0, np.pi, 32)),
+                             np.sin(np.linspace(0, np.pi, 32)))
+        eq = dv.Eq(u.dt, 0.25 * u.laplace)
+        op = dv.Operator(dv.Eq(u.forward, dv.solve(eq, u.forward)))
+        op.apply(time_M=50, dt=1e-5)
+        ref_u = np.asarray(u.data).copy()
+
+    from devito_tpu import Grid, TimeFunction, Eq, Operator, solve
+    g2 = Grid(shape=(32, 32), extent=(1., 1.), dtype=np.float64)
+    u2 = TimeFunction(name='u', grid=g2, space_order=2)
+    u2.data[0] = np.outer(np.sin(np.linspace(0, np.pi, 32)),
+                          np.sin(np.linspace(0, np.pi, 32)))
+    op2 = Operator(Eq(u2.forward, solve(Eq(u2.dt, 0.25 * u2.laplace),
+                                        u2.forward)))
+    op2.apply(time_M=50, dt=1e-5)
+    assert np.allclose(np.asarray(u2.data), ref_u, rtol=1e-12, atol=1e-14)
