@@ -59,6 +59,26 @@ def _region_map(eq):
         for d, (start, stop) in zip(fn.space_dimensions, eq.region))
 
 
+def _free_dims(eq):
+    """Reduction dimensions: rhs space dims absent from the target —
+    an ``Inc`` over them is a contraction (reference misc/linalg.py
+    ``Inc(b, A*x)``; the reference emits sequential accumulation loops,
+    here the whole contraction lowers to one fused multiply-reduce that
+    XLA maps onto the MXU for matmul-shaped cases). Returns
+    {dim name: (0, extent)} in a deterministic order."""
+    from ..types.basic import retrieve_functions
+    target_names = {d.name for d in eq.target.space_dimensions}
+    out = OrderedDict()
+    for a in retrieve_functions(eq.rhs):
+        f = a.function
+        if f.is_SparseFunction:
+            continue
+        for d, n in zip(f.space_dimensions, f.shape):
+            if d.name not in target_names and d.name not in out:
+                out[d.name] = (0, int(n))
+    return out
+
+
 def modulo_period(stepping_info):
     """lcm of the rolling-buffer slot counts."""
     P = 1
@@ -201,9 +221,16 @@ def _exec_dense(eq, bufs, params, t, direction, strips=None):
                                   target_prev=tp)
             val_fullz = plan.fullz and tp is not None
 
-    ctx = DenseCtx(bufs, params, _region_map(eq), t=t, direction=direction)
+    region = _region_map(eq)
+    free = _free_dims(eq)
+    if free:
+        region = OrderedDict(list(region.items()) + list(free.items()))
+    ctx = DenseCtx(bufs, params, region, t=t, direction=direction)
     if val is None:
         val = translate(eq.rhs, ctx)
+        if free:
+            nt_ax = len(region) - len(free)
+            val = jnp.sum(val, axis=tuple(range(nt_ax, len(region))))
 
     slices = _write_region_slices(eq)
     if val_fullz:

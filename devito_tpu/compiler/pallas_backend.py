@@ -143,9 +143,20 @@ class PallasPlan:
 
 def plan_for(eq, stepping_info):
     """Build a PallasPlan for a dense eq, or None if not kernelizable."""
+    from ..exceptions import InvalidOperator
     fn = eq.target
     if fn.grid is None:
         return None
+    try:
+        return _plan_for(eq, stepping_info)
+    except InvalidOperator:
+        # e.g. low-level absolute-index accesses (BC equations): tiny
+        # regions, not worth a kernel
+        return None
+
+
+def _plan_for(eq, stepping_info):
+    fn = eq.target
     ndim = len(eq.region)
     if ndim not in (2, 3):
         return None

@@ -19,7 +19,8 @@ import sympy
 
 from ..types.basic import AbstractFunction
 from ..types.dimension import Dimension, ConditionalDimension
-from ..ir.lowering import time_access_of, space_offsets_of
+from ..ir.lowering import (time_access_of, space_offsets_of,
+                           space_index_specs)
 from ..exceptions import CompilationError
 
 __all__ = ['translate', 'DenseCtx', 'SparseCtx']
@@ -204,9 +205,12 @@ class DenseCtx(BaseCtx):
     def access(self, e):
         fn = e.function
         arr = self._time_resolved(fn, e)
-        offs = space_offsets_of(e)
+        specs = space_index_specs(e)
         halo = fn.dev_halo
-        if getattr(fn, 'is_zcompact', False) and offs and offs[-1] != 0:
+        last_plain = (specs and specs[-1][0] == 'rel'
+                      and specs[-1][1] == fn.space_dimensions[-1].name
+                      and specs[-1][2] == 0)
+        if getattr(fn, 'is_zcompact', False) and specs and not last_plain:
             # z-compact layout: synthesize the z halo with an in-VMEM
             # zero-pad of the (already staged) time-resolved row — the
             # pads of all taps of one row CSE into a single copy, which
@@ -217,12 +221,48 @@ class DenseCtx(BaseCtx):
             zh = tuple(fn.halo[-1])
             arr = jnp.pad(arr, [(0, 0)] * (arr.ndim - 1) + [zh])
             halo = halo[:-1] + (zh,)
-        slices = []
-        for (d, off, (hl, hr)) in zip(fn.space_dimensions, offs, halo):
-            start, length = self.region[d.name]
-            s = hl + start + off
-            slices.append(slice(s, s + length))
-        return arr[tuple(slices)]
+        # slice each axis by its INDEXING dimension's region (usually the
+        # axis's own dim; another one for transposed indexing A[j, i]);
+        # absolute indices become broadcast length-1 lines
+        slices, idx_dims = [], []
+        for (sp, (hl, hr)) in zip(specs, halo):
+            if sp[0] == 'abs':
+                s = hl + sp[1]
+                slices.append(slice(s, s + 1))
+                idx_dims.append(None)
+            else:
+                _, dn, off = sp
+                start, length = self.region[dn]
+                s = hl + start + off
+                slices.append(slice(s, s + length))
+                idx_dims.append(dn)
+        arr = arr[tuple(slices)]
+        # Align axes to the region's dimension order. Grid-backed stencil
+        # accesses index each axis by its own dim in grid order (no-op);
+        # free-dimension contractions (Inc(b, A[i,j]*x[j]), reference
+        # misc/linalg.py), transposed indexing, and reduced-rank functions
+        # need an explicit permute + broadcast.
+        rnames = list(self.region)
+        if idx_dims != rnames:
+            own = [d.name for d in fn.space_dimensions]
+            # absolute axes anchor to their own dim's slot when available
+            anchored = [dn if dn is not None else
+                        (on if on in rnames else None)
+                        for dn, on in zip(idx_dims, own)]
+            # drop abs axes with no region slot (length 1, squeeze)
+            keep = [a for a, dn in enumerate(anchored) if dn is not None]
+            if len(keep) < len(anchored):
+                arr = arr.reshape(tuple(arr.shape[a] for a in keep))
+                anchored = [anchored[a] for a in keep]
+            pos = [rnames.index(dn) for dn in anchored]
+            order = sorted(range(len(anchored)), key=lambda a: pos[a])
+            if order != list(range(len(anchored))):
+                arr = arr.transpose(tuple(order))
+            shape = [1] * len(rnames)
+            for t, a in enumerate(order):
+                shape[pos[a]] = arr.shape[t]
+            arr = arr.reshape(tuple(shape))
+        return arr
 
 
 class SparseCtx(BaseCtx):

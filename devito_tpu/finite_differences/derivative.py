@@ -73,6 +73,12 @@ class Derivative(Differentiable, sympy.Expr):
 
     def __new__(cls, expr, *dims, deriv_order=None, fd_order=None, side=None,
                 x0=None, transpose=False, weights=None, method='FD', **kwargs):
+        # Derivative of a constant is zero (the reference's Derivative
+        # behaves likewise) — this is what lets linsolve's target->0/1
+        # substitution probe work when the target sits inside a spatial
+        # derivative (e.g. solve(Eq(pn.laplace), pn), 05_laplace.ipynb)
+        if getattr(sympy.sympify(expr), 'is_number', False):
+            return sympy.S.Zero
         # Normalize dims -> tuple of (dim, order)
         norm = []
         for d in dims:

@@ -233,6 +233,11 @@ def _parse_derivative_shortcut(expr, name):
             side = 'left'
         elif mod == 'r':
             side = 'right'
+        elif mod == 'c':
+            # explicitly-centered first derivative (u.dxc/u.dyc): skips
+            # the 2-point demotion the bare u.dx applies at fd_order=2
+            # (reference: side=centered blocks generic_derivative:139)
+            side = 'centered'
         elif mod == '45':
             rot45 = True
         elif mod.isdigit():

@@ -18,7 +18,8 @@ from ..exceptions import InvalidOperator
 from ..utils import as_tuple, filter_ordered
 
 __all__ = ['LoweredEq', 'LoweredSparse', 'Schedule', 'lower_expressions',
-           'time_access_of', 'space_offsets_of', 'estimate_cost']
+           'time_access_of', 'space_offsets_of', 'space_index_specs',
+           'estimate_cost']
 
 
 class LoweredEq:
@@ -120,21 +121,72 @@ def time_access_of(access):
         return (None, None)
     d0 = dims[0]
     arg0 = access.args[0]
+
+    def _off(a):
+        off = sympy.simplify(a - d0)
+        if not off.is_number:
+            # the user may index with the grid's TimeDimension where the
+            # function carries a SteppingDimension (low-level BC idiom
+            # Eq(u[t+1, 0, y], ...)); the root time symbol is
+            # interchangeable with its derived stepping symbol
+            root = getattr(d0, 'parent', None) or getattr(d0, 'root', None)
+            if root is not None:
+                off = sympy.simplify(a.subs(root, d0) - d0)
+        return int(off)
+
     if isinstance(d0, ConditionalDimension):
-        off = sympy.simplify(arg0 - d0)
-        return ('cond', int(off))
+        return ('cond', _off(arg0))
     if d0.is_Stepping:
-        off = sympy.simplify(arg0 - d0)
-        return ('stepping', int(off))
+        return ('stepping', _off(arg0))
     if d0.is_Time:
-        off = sympy.simplify(arg0 - d0)
-        return ('save', int(off))
+        return ('save', _off(arg0))
     return (None, None)
 
 
-def space_offsets_of(access):
+def space_index_specs(access):
+    """Classify each spatial index expression of an access. Returns, per
+    space axis, one of:
+    - ('rel', dim_name, k): affine in some region dimension (usually the
+      axis's own; a different one for transposed indexing like A[j, i],
+      the reference misc/linalg.py transpose_mat_vec);
+    - ('abs', c): a constant index (low-level u[t+1, 0, y] API).
+    """
+    fn = access.function
+    dims = fn.dimensions
+    args = access.args
+    start = 1 if (dims and (dims[0].is_Time or
+                            isinstance(dims[0], ConditionalDimension))) else 0
+    specs = []
+    for d, a in zip(dims[start:], args[start:]):
+        a = sympy.sympify(a)
+        free = [s for s in a.free_symbols if isinstance(s, Dimension)]
+        if not free:
+            if a.is_number and a.is_integer is not False:
+                specs.append(('abs', int(a)))
+                continue
+            raise InvalidOperator(f"Non-affine access {access}")
+        if len(free) > 1:
+            raise InvalidOperator(f"Multi-dimension index in {access}")
+        dd = free[0]
+        off = sympy.simplify(a - dd)
+        if not (off.is_number and off.is_integer is not False):
+            raise InvalidOperator(f"Non-affine access {access}")
+        root = dd.root if dd.is_Derived else dd
+        specs.append(('rel', root.name, int(off)))
+    return tuple(specs)
+
+
+def space_offsets_of(access, absolute='raise'):
     """Integer spatial offsets of an access, aligned with the function's
-    space dimensions."""
+    space dimensions.
+
+    ``absolute`` controls how constant (dimension-free) indices — the
+    low-level ``u[t+1, 0, y]`` API — are treated:
+    - 'raise' (default): InvalidOperator, the stencil-access contract;
+    - 'keep': return ``('abs', c)`` entries alongside plain int offsets;
+    - 'zero': treat as offset 0 (conservative, for halo/dependence sizing
+      where an absolute index needs no halo).
+    """
     fn = access.function
     dims = fn.dimensions
     args = access.args
@@ -144,8 +196,20 @@ def space_offsets_of(access):
     for d, a in zip(dims[start:], args[start:]):
         off = sympy.simplify(a - d)
         if not (off.is_number and off.is_integer is not False):
+            a_s = sympy.simplify(a)
+            if a_s.is_number and a_s.is_integer is not False:
+                # constant index: absolute position, not a stencil offset
+                if absolute == 'keep':
+                    offs.append(('abs', int(a_s)))
+                    continue
+            if absolute == 'zero':
+                # conservative: absolute/cross-dimension indices need no
+                # halo and carry no stencil offset
+                offs.append(0)
+                continue
             raise InvalidOperator(f"Non-affine access {access}")
-        offs.append(int(off))
+        else:
+            offs.append(int(off))
     return tuple(offs)
 
 
@@ -199,12 +263,20 @@ def lower_one(eq):
             "Direct sparse assignments must go through .interpolate()")
 
     tk, toff = time_access_of(lhs)
-    soffs = space_offsets_of(lhs)
-    if any(s != 0 for s in soffs):
-        raise InvalidOperator(
-            f"Shifted spatial writes not supported (lhs {lhs})")
+    specs = space_index_specs(lhs)
+    own = [d.root.name if d.is_Derived else d.name
+           for d in fn.space_dimensions]
+    for sp, dn in zip(specs, own):
+        if sp[0] == 'rel' and (sp[1] != dn or sp[2] != 0):
+            raise InvalidOperator(
+                f"Shifted spatial writes not supported (lhs {lhs})")
 
     region = _region_of(lhs, eq.subdomain)
+    if any(sp[0] == 'abs' for sp in specs):
+        # low-level indexed write (Eq(u[t+1, 0, y], ...)): a constant
+        # index pins that dimension's region to the single point
+        region = tuple((sp[1], sp[1] + 1) if sp[0] == 'abs' else r
+                       for sp, r in zip(specs, region))
     cond = None
     cond_factor = None
     if tk == 'cond':

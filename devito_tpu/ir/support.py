@@ -126,7 +126,7 @@ def _item_accesses(item, idx):
                 offs = ()
             else:
                 tk, toff = time_access_of(a)
-                offs = space_offsets_of(a)
+                offs = space_offsets_of(a, absolute='zero')
             out.append(TimedAccess(fn, tk, toff, offs, 'R', idx))
 
     if isinstance(item, LoweredEq):

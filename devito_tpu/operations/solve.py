@@ -55,8 +55,16 @@ def linsolve(expr, target, **kwargs):
     if a == 0:
         a = sympy.simplify(expr.subs(target, 1) - b)
     if a == 0:
-        sols = sympy.solve(evaluate_expr(expr), target)
-        if not sols:
-            raise InvalidOperator(f"Cannot solve for {target}")
-        return diffify(sols[0])
+        # target only appears inside spatial Derivative nodes (e.g.
+        # solve(Eq(pn.laplace), pn), the Jacobi-iteration idiom of
+        # 05_laplace/07_cavity/09_Darcy): expand the stencils, then
+        # linear-extract the center coefficient
+        ev = evaluate_expr(expr)
+        b = ev.subs(target, 0)
+        a = sympy.simplify(ev.subs(target, 1) - b)
+        if a == 0:
+            sols = sympy.solve(ev, target)
+            if not sols:
+                raise InvalidOperator(f"Cannot solve for {target}")
+            return diffify(sols[0])
     return diffify(-b / a)

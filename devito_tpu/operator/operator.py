@@ -272,7 +272,7 @@ class Operator:
                         f = a.function
                         if f.name not in cands or f.is_SparseFunction:
                             continue
-                        offs = space_offsets_of(a)
+                        offs = space_offsets_of(a, absolute='zero')
                         if offs and offs[-1] != 0 and not (
                                 f.is_TimeFunction and f._time_size):
                             # z-shifted reads of a non-time-carried array:
@@ -283,7 +283,7 @@ class Operator:
                 for a in retrieve_functions(it.expr):
                     f = a.function
                     if f.name in cands and not f.is_SparseFunction:
-                        offs = space_offsets_of(a)
+                        offs = space_offsets_of(a, absolute='zero')
                         if offs and offs[-1] != 0:
                             # sparse gather at a z offset could step out of
                             # the compact extent at clipped corners

@@ -43,7 +43,7 @@ def halo_scheme(schedule):
             fn = a.function
             if fn.is_SparseFunction or fn.grid is None:
                 continue
-            offs = space_offsets_of(a)
+            offs = space_offsets_of(a, absolute='zero')
             if not any(offs):
                 continue
             tk, toff = time_access_of(a)

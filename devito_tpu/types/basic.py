@@ -153,6 +153,20 @@ class AbstractFunction(Differentiable, sympy.Function):
             return Rational(1, 2)
         return Rational(0)
 
+    # -- low-level indexed access -----------------------------------------
+
+    def __getitem__(self, indices):
+        """Explicit-index access, e.g. ``u[t+1, 0, y]`` — the reference's
+        low-level Indexed API used for boundary-condition equations
+        (reference: types/basic.py Indexed:1851; notebook BC idiom
+        ``Eq(u[t+1, 0, y], 0)``)."""
+        indices = indices if isinstance(indices, tuple) else (indices,)
+        if len(indices) != len(self.dimensions):
+            raise IndexError(
+                f"{self.name}: expected {len(self.dimensions)} indices, "
+                f"got {len(indices)}")
+        return type(self)(*[sympy.sympify(i) for i in indices])
+
     # -- structural helpers ----------------------------------------------
 
     def _subs_index(self, position, delta):
