@@ -157,6 +157,9 @@ def plan_for(eq, stepping_info):
 
 def _plan_for(eq, stepping_info):
     fn = eq.target
+    if any(a < 0 for a, b in eq.region):
+        # halo-extended CIRE-temporary writes: XLA path handles these
+        return None
     ndim = len(eq.region)
     if ndim not in (2, 3):
         return None

@@ -210,6 +210,13 @@ class DenseCtx(BaseCtx):
         last_plain = (specs and specs[-1][0] == 'rel'
                       and specs[-1][1] == fn.space_dimensions[-1].name
                       and specs[-1][2] == 0)
+        if last_plain:
+            # a halo-extended read region (CIRE temporaries computed into
+            # the halo) also needs the synthesized z halo
+            start, length = self.region[specs[-1][1]]
+            nlast = (fn.shape[1:] if fn.is_TimeFunction else fn.shape)[-1]
+            if start < 0 or start + length > nlast:
+                last_plain = False
         if getattr(fn, 'is_zcompact', False) and specs and not last_plain:
             # z-compact layout: synthesize the z halo with an in-VMEM
             # zero-pad of the (already staged) time-resolved row — the

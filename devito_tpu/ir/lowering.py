@@ -272,6 +272,12 @@ def lower_one(eq):
                 f"Shifted spatial writes not supported (lhs {lhs})")
 
     region = _region_of(lhs, eq.subdomain)
+    hw = int(getattr(eq, '_halo_write', 0) or 0)
+    if hw and eq.subdomain is None:
+        # CIRE temporary: computed into the halo so consumer stencils'
+        # taps stay valid (reference: restricted-ispace aliases,
+        # passes/clusters/aliases.py lower_aliases:681)
+        region = tuple((a - hw, b + hw) for a, b in region)
     if any(sp[0] == 'abs' for sp in specs):
         # low-level indexed write (Eq(u[t+1, 0, y], ...)): a constant
         # index pins that dimension's region to the single point
@@ -299,15 +305,29 @@ def lower_one(eq):
 def lower_expressions(expressions, subs=None):
     """Evaluate + lower a list of user expressions into a Schedule."""
     from ..operations.interpolators import Interpolation, Injection
+    from ..parameters import configuration
+
+    flat = list(_flatten_exprs(expressions))
+    if configuration['cire']:
+        # CIRE analog: materialize nested / cross-equation-shared
+        # derivative subexpressions into temporaries (ir/cire.py)
+        from .cire import extract_derivative_temps
+        temps, flat = extract_derivative_temps(flat)
+        flat = list(temps) + list(flat)
 
     items = []
-    for e in _flatten_exprs(expressions):
+    for e in flat:
         if isinstance(e, (Interpolation, Injection)):
             items.extend(e._lower(subs=subs))
         elif isinstance(e, Eq):
             ev = e.evaluate
+            hw = getattr(e, '_halo_write', 0)
+            if hw:
+                ev._halo_write = hw
             if subs:
                 ev = ev.subs(subs)
+                if hw:
+                    ev._halo_write = hw
             lowered = lower_one(ev)
             if isinstance(lowered, list):
                 items.extend(lowered)

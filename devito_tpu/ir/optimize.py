@@ -90,32 +90,39 @@ def _worthwhile(expr):
     return _weighted_cost(expr) >= _WEIGHTED_MIN
 
 
-def _invariant(expr):
-    return not _has_time(expr)
+def _invariant(expr, body_written=()):
+    if _has_time(expr):
+        return False
+    # timeless functions WRITTEN in the loop body (CIRE temporaries) are
+    # not invariant either
+    for a in retrieve_functions(expr):
+        if a.function.name in body_written:
+            return False
+    return True
 
 
-def _collect(expr, out):
+def _collect(expr, out, body_written=()):
     """Top-down collection of maximal hoistable invariant subexpressions."""
     expr = sympy.sympify(expr)
     if not getattr(expr, 'args', ()):
         return
-    if _invariant(expr):
+    if _invariant(expr, body_written):
         if _worthwhile(expr):
             out[expr] = True
         return  # whole subtree invariant: either hoisted or too cheap
     if isinstance(expr, (sympy.Add, sympy.Mul)):
-        inv = [a for a in expr.args if _invariant(a)]
+        inv = [a for a in expr.args if _invariant(a, body_written)]
         if inv:
             group = expr.func(*inv, evaluate=False) if len(inv) > 1 else inv[0]
             if _worthwhile(group):
                 out[group] = True
                 # don't descend into the hoisted group
                 for a in expr.args:
-                    if not _invariant(a):
-                        _collect(a, out)
+                    if not _invariant(a, body_written):
+                        _collect(a, out, body_written)
                 return
     for a in expr.args:
-        _collect(a, out)
+        _collect(a, out, body_written)
 
 
 def hoist_invariants(schedule):
@@ -128,9 +135,10 @@ def hoist_invariants(schedule):
     if not body_dense:
         return schedule
 
+    body_written = {eq.target.name for eq in body_dense}
     candidates = {}
     for eq in body_dense:
-        _collect(eq.rhs, candidates)
+        _collect(eq.rhs, candidates, body_written)
     if not candidates:
         return schedule
 
@@ -141,6 +149,13 @@ def hoist_invariants(schedule):
         tgt = getattr(it, 'target', None)
         if tgt is not None:
             existing.add(tgt.name)
+
+    # hoisted temporaries must cover the widest consumer write region —
+    # CIRE temporaries write into the halo (negative region starts)
+    ext = 0
+    for eq in body_dense:
+        for (a, b) in eq.region:
+            ext = max(ext, -a)
 
     mapper = {}
     new_prologue = []
@@ -156,9 +171,9 @@ def hoist_invariants(schedule):
         while name in existing:
             name = f"r{next(_ctr)}"
         existing.add(name)
-        temp = Function(name=name, grid=grid, space_order=0,
+        temp = Function(name=name, grid=grid, space_order=ext,
                         dtype=grid.dtype)
-        region = tuple((0, n) for n in grid.shape)
+        region = tuple((-ext, n + ext) for n in grid.shape)
         new_prologue.append(LoweredEq(temp.function, None, None, region,
                                       cand, time_dep=False))
         mapper[cand] = temp

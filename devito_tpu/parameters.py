@@ -64,6 +64,7 @@ configuration.add('halo', 'auto', accepted=['auto', 'explicit', 'gspmd'])
 # reference's compiler-flags registry, arch/compiler.py): passed to every
 # executable compile, e.g. 'xla_tpu_msa_use_minimalloc=true'
 configuration.add('xla-options', '')
+configuration.add('cire', True, accepted=[True, False])
 # save=nt wavefield host streaming (the reference's buffering + tasking
 # + Orchestrator analog, devito/passes/clusters/buffering.py:27): 'auto'
 # streams when the save buffers exceed `save-budget` bytes of device
@@ -89,6 +90,7 @@ _ENV_MAP = {
     'DEVITO_TPU_BACKEND': 'backend',
     'DEVITO_TPU_HALO': 'halo',
     'DEVITO_TPU_XLA_OPTIONS': 'xla-options',
+    'DEVITO_TPU_CIRE': 'cire',
     'DEVITO_TPU_DEVELOP': 'develop-mode',
     'DEVITO_TPU_SAFE_MATH': 'safe-math',
     'DEVITO_TPU_AUTOTUNING': 'autotuning',

@@ -120,3 +120,47 @@ def test_diffusion_operator_vs_oracle():
                                         u2.forward)))
     op2.apply(time_M=50, dt=1e-5)
     assert np.allclose(np.asarray(u2.data), ref_u, rtol=1e-12, atol=1e-14)
+
+
+def test_tti_forward_vs_oracle():
+    """TTI centered-kernel layers model: receiver norm matches."""
+    ref = harness.reference()
+    with ref.use():
+        tti_setup = ref.import_examples(
+            'seismic.tti.tti_example').tti_setup
+        from devito import norm as ref_norm
+        s = tti_setup(shape=(40, 40), spacing=(20., 20.), tn=250.,
+                      space_order=4, nbl=10, dtype=np.float64)
+        rec, *_ = s.forward()
+        ref_n = float(ref_norm(rec))
+
+    from devito_tpu.builtins import norm
+    from devito_tpu.models.seismic.tti import tti_setup as our_setup
+    s2 = our_setup(shape=(40, 40), spacing=(20., 20.), tn=250.,
+                   space_order=4, nbl=10, dtype=np.float64)
+    rec2, *_ = s2.forward()
+    assert np.isclose(float(norm(rec2)), ref_n, rtol=1e-7)
+
+
+def test_viscoacoustic_forward_vs_oracle():
+    """Viscoacoustic SLS 2nd-order layers model: receiver norm matches."""
+    ref = harness.reference()
+    with ref.use():
+        va = ref.import_examples(
+            'seismic.viscoacoustic.viscoacoustic_example')
+        from devito import norm as ref_norm
+        s = va.viscoacoustic_setup(shape=(40, 40), spacing=(20., 20.),
+                                   tn=400., space_order=4, nbl=10,
+                                   kernel='sls', time_order=2,
+                                   dtype=np.float64)
+        rec, *_ = s.forward()
+        ref_n = float(ref_norm(rec))
+
+    from devito_tpu.builtins import norm
+    from devito_tpu.models.seismic.viscoacoustic import (
+        viscoacoustic_setup as our_setup)
+    s2 = our_setup(shape=(40, 40), spacing=(20., 20.), tn=400.,
+                   space_order=4, nbl=10, kernel='sls', time_order=2,
+                   dtype=np.float64)
+    rec2, *_ = s2.forward()
+    assert np.isclose(float(norm(rec2)), ref_n, rtol=1e-7)
