@@ -206,6 +206,13 @@ class Operator:
                 break
 
         self._zcompact_candidates = self._find_zcompact_candidates()
+        # halo-extended writes (CIRE temporaries) force padded layouts:
+        # the z-compact pad/unpad chains flip XLA's layout assignment to
+        # z-major for most of the step graph (measured 958/978 buffers at
+        # {1,0,2} on 192^3 TTI -> 27 vs 23.4 ms/step padded-only)
+        self._has_extended_regions = any(
+            isinstance(it, LoweredEq) and any(a < 0 for a, _ in it.region)
+            for it in self._schedule.all_items)
         self._save_spans = self._find_save_spans()
 
     def _find_save_spans(self):
@@ -300,6 +307,7 @@ class Operator:
                 continue
             want = 'padded'
             if (allow and not use_pallas
+                    and not self._has_extended_regions
                     and name in self._zcompact_candidates
                     and fn.halo_state == 'zero'):
                 grid = fn.grid or self._grid

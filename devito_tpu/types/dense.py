@@ -189,6 +189,11 @@ class DiscreteFunction(AbstractFunction):
         cls = type(self)
         if cls._host_buf is None:
             cls._host_buf = np.zeros(self.shape_allocated, dtype=self.dtype)
+            # pristine: all-zero and never exposed to the user — lets the
+            # device buffer be created as jnp.zeros without shipping zeros
+            # over the host<->device link (fresh wavefields are the bulk
+            # of per-apply transfer: 342 MB for a 192^3 TTI pair)
+            cls._pristine_zero = cls._initializer is None
             if cls._initializer is not None:
                 view = self._domain_view(cls._host_buf)
                 cls._initializer(view)
@@ -214,6 +219,7 @@ class DiscreteFunction(AbstractFunction):
                 n = cls._space_shape[-1]
                 cls._host_buf[..., hl:hl + n] = dev
         cls._coh = self._HOST  # user may write through the view
+        cls._pristine_zero = False
         cls._dev_buf = None
         return cls._host_buf
 
@@ -229,7 +235,10 @@ class DiscreteFunction(AbstractFunction):
                 hl, _ = cls._halo[-1]
                 n = cls._space_shape[-1]
                 buf = buf[..., hl:hl + n]
-            cls._dev_buf = jnp.asarray(buf)
+            if getattr(cls, '_pristine_zero', False):
+                cls._dev_buf = jnp.zeros(buf.shape, dtype=buf.dtype)
+            else:
+                cls._dev_buf = jnp.asarray(buf)
             cls._coh = self._BOTH
         return cls._dev_buf
 
