@@ -288,7 +288,25 @@ class DiscreteFunction(AbstractFunction):
 
     @property
     def data(self):
-        """Writable numpy view over the domain region."""
+        """Writable view over the domain region.
+
+        Host-authoritative (or single-device) data returns the plain
+        numpy view. When the authoritative buffer is device-resident and
+        sharded over multiple devices, returns a lazy global-indexing
+        ``Data`` view (devito_tpu/data.py): windowed reads slice the
+        sharded jax.Array (computation-follows-data) so only the
+        requested window ever reaches the host — the reference's
+        distributed ``Data`` global-indexing semantics without the full
+        gather (reference: data/data.py:14)."""
+        cls = type(self)
+        if cls._coh == self._DEV and cls._dev_buf is not None:
+            try:
+                multi = len(cls._dev_buf.devices()) > 1
+            except Exception:
+                multi = False
+            if multi:
+                from ..data import Data
+                return Data(self)
         return self._domain_view(self._ensure_host())
 
     @property

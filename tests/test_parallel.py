@@ -91,3 +91,36 @@ def test_sharded_sparse_ops():
                                     devices=jax.devices()[:4])
     got = run(grid)
     assert np.abs(got - ref).max() < 1e-5
+
+
+def test_distributed_data_windowed_access():
+    """Sharded runs expose `.data` as a global-indexing view: windowed
+    reads slice the sharded device array (no full gather), writes stay
+    device-resident (reference: data/data.py Data + the distributed
+    indexing engine, data/distributed/)."""
+    import numpy as np
+    from devito_tpu import Grid, TimeFunction, Eq, Operator, solve
+    from devito_tpu.data import Data
+
+    grid = Grid(shape=(32, 32), extent=(31., 31.), topology=('*', '*'))
+    u = TimeFunction(name='u', grid=grid, time_order=2, space_order=2)
+    u.data[0, 16, 16] = 1.0
+    op = Operator(Eq(u.forward, solve(u.dt2 - u.laplace, u.forward)),
+                  subs=grid.spacing_map)
+    op.apply(time_M=4, dt=0.1)
+
+    assert isinstance(u.data, Data), type(u.data)
+    # windowed read: only a 2x4x4 block crosses the device boundary
+    win = u.data[0:2, 14:18, 14:18]
+    assert win.shape == (2, 4, 4)
+    assert np.isfinite(win).all()
+    # consistency with the full gather
+    full = np.asarray(u.data)
+    assert np.array_equal(win, full[0:2, 14:18, 14:18])
+    # single-element read
+    assert u.data[0, 16, 16] == full[0, 16, 16]
+    # device-resident windowed write, then verify
+    u.data[0, 0:2, 0:2] = 7.0
+    assert np.allclose(u.data[0, 0:2, 0:2], 7.0)
+    # negative index
+    assert u.data[0, -1, -1] == full[0, -1, -1]
