@@ -41,7 +41,7 @@ def run(args):
     out = solver.forward()
     elapsed = time.perf_counter() - t0
     summary = out[-1]
-    entry = summary['section0']
+    entry = summary.globals['fdlike']
     result = {
         'problem': args.problem,
         'shape': list(args.shape),

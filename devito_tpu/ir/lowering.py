@@ -302,13 +302,18 @@ def lower_one(eq):
                      cond_factor=cond_factor, lhs_access=lhs)
 
 
-def lower_expressions(expressions, subs=None):
-    """Evaluate + lower a list of user expressions into a Schedule."""
+def lower_expressions(expressions, subs=None, cire=None):
+    """Evaluate + lower a list of user expressions into a Schedule.
+
+    ``cire``: None = follow configuration['cire']; False disables the
+    extraction pass (opt='noop' mode)."""
     from ..operations.interpolators import Interpolation, Injection
     from ..parameters import configuration
 
     flat = list(_flatten_exprs(expressions))
-    if configuration['cire']:
+    if cire is None:
+        cire = configuration['cire']
+    if cire:
         # CIRE analog: materialize nested / cross-equation-shared
         # derivative subexpressions into temporaries (ir/cire.py)
         from .cire import extract_derivative_temps

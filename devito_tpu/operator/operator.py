@@ -69,7 +69,11 @@ class Operator:
         else:
             self._opt = opt or configuration['opt']
         tic = _time.perf_counter()
-        self._schedule = lower_expressions(expressions, subs=subs)
+        cire_on = (self._opt != 'noop'
+                   and bool(self._opt_options.get('cire', True))
+                   and bool(configuration['cire']))
+        self._schedule = lower_expressions(expressions, subs=subs,
+                                           cire=cire_on)
         if self._opt != 'noop' and self._opt_options.get(
                 'hoist-invariants', True):
             # flop reduction: hoist time-invariant subexpressions into
@@ -327,22 +331,38 @@ class Operator:
         points_per_step = 0
         traffic_per_step = 0
         static = 0
+        # per-section accounting (reference: per-Section TimedList
+        # profiling, operator/profiling.py PerfEntry — here sections map
+        # to schedule-body items; flops/points are exact compile-time
+        # counts, apply-time is apportioned by cost-model share since the
+        # whole step runs as one fused XLA loop)
+        sections = []
         for it in self._schedule.body:
             if isinstance(it, LoweredEq):
                 vol = 1
+                shape = []
                 for (a, b) in it.region:
                     vol *= (b - a)
+                    shape.append(b - a)
                 c = estimate_cost(it.rhs) + (1 if it.increment else 0)
                 per_step += c * vol
                 points_per_step += vol
                 nfuncs = len(retrieve_functions(it.rhs)) + 1
-                traffic_per_step += nfuncs * vol * it.target.dtype.itemsize
+                traffic = nfuncs * vol * it.target.dtype.itemsize
+                traffic_per_step += traffic
+                sections.append((f'section{len(sections)}',
+                                 it.target.name, c * vol, vol, traffic,
+                                 tuple(shape)))
             elif isinstance(it, LoweredSparse):
                 npts = it.sparse.npoint or 0
                 c = estimate_cost(it.expr) + 2
                 corners = it.sparse.interpolator.ncorners(
                     it.sparse.grid.dim if it.sparse.grid else 2)
                 per_step += c * npts * corners
+                sections.append((f'section{len(sections)}',
+                                 f'{it.kind}:{it.sparse.name}',
+                                 c * npts * corners, npts, 0, (npts,)))
+        self._sections = sections
         for it in self._schedule.prologue + self._schedule.epilogue:
             if isinstance(it, LoweredEq):
                 vol = 1
@@ -943,13 +963,34 @@ class Operator:
         points = self._points_per_step * nsteps
         traffic = self._traffic_per_step * nsteps
         summary = PerformanceSummary()
-        summary.add('section0', elapsed, flops=flops, points=points,
-                    traffic=traffic)
+        self._add_sections(summary, elapsed, nsteps)
         summary.add_glb(elapsed, flops=flops, points=points, traffic=traffic)
-        e = summary['section0']
+        g = summary.globals['fdlike']
         log_perf(f"Operator `{self._name}` ran in {elapsed:.4f} s "
-                 f"[{e.gpointss:.2f} GPts/s, {e.gflopss:.2f} GFlops/s]")
+                 f"[{g.gpointss:.2f} GPts/s, {g.gflopss:.2f} GFlops/s]")
+        for name, e in summary.items():
+            log_perf(f"  {name} ({summary.labels.get(name, '')}): "
+                     f"{e.time:.4f} s, {e.gflopss:.2f} GFlops/s, "
+                     f"{e.gpointss:.2f} GPts/s")
         return summary
+
+    def _add_sections(self, summary, elapsed, nsteps):
+        """Per-section PerfEntries: exact per-section flops/points,
+        wall time apportioned by cost-model share (flops + bytes)."""
+        secs = getattr(self, '_sections', None) or []
+        if not secs:
+            summary.add('section0', elapsed,
+                        flops=self._flops_per_step * nsteps,
+                        points=self._points_per_step * nsteps,
+                        traffic=self._traffic_per_step * nsteps)
+            return
+        weights = [fl + tr for (_, _, fl, _, tr, _) in secs]
+        total_w = sum(weights) or 1
+        for (name, label, fl, pts, tr, shape), w in zip(secs, weights):
+            t = elapsed * w / total_w
+            summary.add(name, t, flops=fl * nsteps, points=pts * nsteps,
+                        traffic=tr * nsteps, itershapes=(shape,))
+            summary.labels[name] = label
 
     def __call__(self, **kwargs):
         return self.apply(**kwargs)

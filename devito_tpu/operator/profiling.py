@@ -17,6 +17,7 @@ class PerformanceSummary(OrderedDict):
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
         self.globals = {}
+        self.labels = {}   # section -> human label (target/sparse op)
 
     def add(self, name, time, flops=0, points=0, traffic=0, itershapes=None):
         gflopss = flops / time / 1e9 if time > 0 else 0.0

@@ -136,3 +136,34 @@ class TestSubDomainSet:
         assert np.allclose(d[2:6, 3:7], 1.0)
         assert np.allclose(d[12:18, 10:16], 1.0)
         assert d.sum() == 4 * 4 + 6 * 6
+
+
+def test_opt_noop_disables_passes():
+    """opt='noop' runs without CIRE/hoisting and still computes correctly
+    (reference: operator registry modes, operator/registry.py)."""
+    import numpy as np
+    import sympy
+    from devito_tpu import Grid, TimeFunction, Eq, Operator
+    from devito_tpu.finite_differences.derivative import Derivative
+    g = Grid(shape=(16, 16), extent=(15., 15.), dtype=np.float64)
+    x, y = g.dimensions
+    u = TimeFunction(name='u', grid=g, space_order=4)
+    w = TimeFunction(name='w', grid=g, space_order=4)
+    rng = np.random.default_rng(0)
+    f = rng.standard_normal((16, 16))
+    inner = Derivative(u, x, fd_order=2,
+                       x0={x: x + sympy.Rational(1, 2) * x.spacing})
+    outer = Derivative(inner, x, fd_order=2,
+                       x0={x: x - sympy.Rational(1, 2) * x.spacing})
+    res = {}
+    for mode in ('noop', 'advanced'):
+        u.data[0] = f
+        w.data[:] = 0.
+        op = Operator([Eq(w.forward, outer), Eq(u.forward, u)], opt=mode)
+        has_cire = any(getattr(it, 'target', None) is not None
+                       and it.target.name.startswith('cire')
+                       for it in op._schedule.body)
+        assert has_cire == (mode != 'noop')
+        op.apply(time_M=1, dt=1.)
+        res[mode] = np.asarray(w.data).copy()
+    assert np.allclose(res['noop'], res['advanced'], atol=1e-13)

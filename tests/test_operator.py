@@ -185,3 +185,24 @@ def test_performance_summary(grid2d):
     assert 'section0' in summary
     assert summary['section0'].time > 0
     assert summary['section0'].ops > 0
+
+
+def test_per_section_summary():
+    """Multi-equation operators report one PerfEntry per section with
+    exact flop/point counts (reference: per-Section profiling,
+    operator/profiling.py PerformanceSummary)."""
+    import numpy as np
+    from devito_tpu import Grid, TimeFunction, Eq, Operator, solve
+    g = Grid(shape=(16, 16), extent=(15., 15.))
+    u = TimeFunction(name='u', grid=g, space_order=2)
+    v = TimeFunction(name='v', grid=g, space_order=2)
+    u.data[0, 8, 8] = 1.
+    op = Operator([Eq(u.forward, solve(Eq(u.dt, 0.5 * u.laplace), u.forward)),
+                   Eq(v.forward, v + u.forward)])
+    summary = op.apply(time_M=4, dt=0.01)
+    assert 'section0' in summary and 'section1' in summary
+    assert summary.labels['section0'] == 'u'
+    assert summary.labels['section1'] == 'v'
+    assert summary['section0'].ops > 0 and summary['section1'].ops > 0
+    total = sum(e.time for e in summary.values())
+    assert np.isclose(total, summary.globals['fdlike'].time, rtol=1e-6)
