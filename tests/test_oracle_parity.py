@@ -164,3 +164,30 @@ def test_viscoacoustic_forward_vs_oracle():
                    dtype=np.float64)
     rec2, *_ = s2.forward()
     assert np.isclose(float(norm(rec2)), ref_n, rtol=1e-7)
+
+
+def test_fwi_gradient_vs_oracle():
+    """Full FWI gradient (forward + saved wavefield + adjoint-gradient):
+    the gradient field matches the reference's own execution."""
+    ref = harness.reference()
+    with ref.use():
+        acoustic_setup = ref.import_examples(
+            'seismic.acoustic.acoustic_example').acoustic_setup
+        s = acoustic_setup(shape=(33, 33), spacing=(15., 15.), tn=300.,
+                           space_order=4, nbl=10, preset='layers-isotropic',
+                           dtype=np.float64)
+        rec, u, _ = s.forward(save=True)
+        grad, _ = s.jacobian_adjoint(rec, u)
+        ref_grad = np.asarray(grad.data).copy()
+
+    from devito_tpu.models.seismic import acoustic_setup as our_setup
+    s2 = our_setup(shape=(33, 33), spacing=[15., 15.], tn=300.,
+                   space_order=4, nbl=10, preset='layers-isotropic',
+                   dtype=np.float64)
+    rec2, u2, _ = s2.forward(save=True)
+    grad2, _ = s2.jacobian_adjoint(rec2, u2)
+    our_grad = np.asarray(grad2.data)
+    assert our_grad.shape == ref_grad.shape
+    den = np.linalg.norm(ref_grad) or 1.0
+    rel = np.linalg.norm(our_grad - ref_grad) / den
+    assert rel < 1e-6, f"gradient mismatch vs oracle: rel={rel:.3e}"
