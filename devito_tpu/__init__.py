@@ -37,6 +37,9 @@ from .types.sparse import (SparseFunction, SparseTimeFunction,  # noqa
 from .types.tensor import (TensorFunction, VectorFunction,  # noqa
                            TensorTimeFunction, VectorTimeFunction)
 from .finite_differences import (Derivative, Differentiable)  # noqa
+from .finite_differences.coefficients import (Coefficient,  # noqa
+                                              Substitutions)
+from .types.dense import Buffer  # noqa
 from .finite_differences.operators import (div, grad, curl, laplace, diag,  # noqa
                                             div45, grad45, curl45)  # noqa
 from .finite_differences.elementary import (sin, cos, tan, sqrt, exp, log,  # noqa

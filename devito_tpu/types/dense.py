@@ -19,7 +19,20 @@ from .basic import AbstractFunction, NODE
 from .dimension import ConditionalDimension
 from ..utils import as_tuple
 
-__all__ = ['DiscreteFunction', 'Function', 'TimeFunction']
+__all__ = ['DiscreteFunction', 'Function', 'TimeFunction', 'Buffer']
+
+
+class Buffer:
+    """Explicit rolling-buffer size for ``TimeFunction(save=Buffer(k))``
+    (reference: types/dense.py save=Buffer semantics — k modulo slots
+    instead of the default time_order+1, no full history)."""
+
+    def __init__(self, size):
+        self.size = int(size)
+
+    def __repr__(self):
+        return f"Buffer({self.size})"
+
 
 
 # Device layouts by function NAME. The layout decision must be visible
@@ -416,16 +429,18 @@ class TimeFunction(Function):
     @classmethod
     def _make_dimensions(cls):
         grid = cls._grid
+        full_save = cls._save is not None and not isinstance(cls._save,
+                                                            Buffer)
         if cls._user_time_dim is not None:
             tdim = cls._user_time_dim
-        elif cls._save is not None:
+        elif full_save:
             tdim = grid.time_dim if grid is not None else None
         else:
             tdim = grid.stepping_dim if grid is not None else None
         if tdim is None:
             from .dimension import TimeDimension, SteppingDimension
             time = TimeDimension('time')
-            tdim = time if cls._save is not None else \
+            tdim = time if full_save else \
                 SteppingDimension('t', parent=time)
         cls._time_dim_ = tdim
         return (tdim,) + cls._space_dimensions
@@ -441,6 +456,8 @@ class TimeFunction(Function):
     @property
     def _time_size(self):
         cls = type(self)
+        if isinstance(cls._save, Buffer):
+            return cls._save.size
         if cls._save is not None:
             return cls._save
         if isinstance(cls._time_dim_, ConditionalDimension):

@@ -53,6 +53,11 @@ class Eq(sympy.Eq):
         x0 = None
         from .basic import AbstractFunction
         from ..finite_differences.differentiable import interp_for_fd
+        coeffs = self._coefficients
+        if coeffs is not None and hasattr(coeffs, 'apply'):
+            # legacy custom-FD-weights API (reference:
+            # finite_differences/coefficients.py Substitutions)
+            rhs = coeffs.apply(rhs)
         if isinstance(lhs, AbstractFunction):
             x0 = {d: lhs.function.stagger_offset(d)
                   for d in lhs.function.dimensions if d.is_Space}
