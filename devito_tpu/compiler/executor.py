@@ -363,6 +363,10 @@ def _sparse_geometry(sf, bufs, params, shard_spec=None):
     W = jnp.stack(weights)  # (C, P)
     W = W * valid.astype(W.dtype)
     idxs = {k: jnp.stack(v) for k, v in corner_idx.items()}  # (C, P)
+    # corner enumeration is product(*ranges): the LAST dim varies fastest,
+    # so corners come in contiguous groups of cz sharing their leading
+    # indices — the row-gather fast path (SparseCtx.access) exploits this
+    idxs['__cz__'] = len(ranges[-1]) if ranges else 1
     if shard_spec:
         # shard-local indices: each corner is owned by exactly one shard;
         # foreign contributions are masked out (reference analog: sparse
@@ -392,9 +396,10 @@ def _exec_sparse(item, bufs, params, t, geom_cache, direction,
         geom_cache[key] = _sparse_geometry(sf, bufs, params,
                                            shard_spec=shard_spec)
     corner_idx, W = geom_cache[key]
+    cz = corner_idx.get('__cz__', 1)
 
     ctx = SparseCtx(bufs, params, corner_idx, W, sf, t=t,
-                    direction=direction)
+                    direction=direction, cz=cz)
     val = translate(item.expr, ctx)  # (C, P) or (P,) or scalar
     matrix = getattr(type(sf), '_matrix', None)
 

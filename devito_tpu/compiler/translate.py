@@ -283,13 +283,15 @@ class SparseCtx(BaseCtx):
     """
 
     def __init__(self, buffers, params, corner_idx, weights, sparse_fn,
-                 t=None, direction=1):
+                 t=None, direction=1, cz=1):
         super().__init__(buffers, params, t=t, direction=direction)
+        self.cz = cz
         self.corner_idx = corner_idx
         self.weights = weights
         self.sparse_fn = sparse_fn
 
     def access(self, e):
+        import jax.numpy as jnp
         fn = e.function
         if fn.is_SparseFunction:
             return self._time_resolved(fn, e)  # (P,)
@@ -301,4 +303,23 @@ class SparseCtx(BaseCtx):
         for (d, off, (hl, hr)) in zip(fn.space_dimensions, offs,
                                       fn.dev_halo):
             idxs.append(self.corner_idx[d.name] + (hl + off))
+        C, P = idxs[0].shape
+        cz = self.cz if C % max(self.cz, 1) == 0 else 1
+        if arr.ndim >= 2 and C * P >= 4096:
+            # TPU-friendly large gather: scalar gathers serialize on TPU
+            # (measured 4 ms for 8x36k points on a 212^3 field — it
+            # dominated the whole TTI step). Instead gather contiguous
+            # LANE ROWS over the leading dims (DMA-friendly) — one row
+            # per DISTINCT leading-corner group (the innermost dim varies
+            # fastest in the corner enumeration) — then select innermost
+            # indices with a fused one-hot lane reduction (the
+            # iota-compare never materializes).
+            lead = tuple(ix[::cz] for ix in idxs[:-1])   # (C/cz, P) each
+            rows = arr[lead]                             # (C/cz, P, L)
+            L = arr.shape[-1]
+            zi = idxs[-1].reshape(C // cz, cz, P)        # (C/cz, cz, P)
+            sel = (zi[..., None] ==
+                   jnp.arange(L, dtype=idxs[-1].dtype))  # (C/cz, cz, P, L)
+            val = jnp.sum(rows[:, None] * sel.astype(arr.dtype), axis=-1)
+            return val.reshape(C, P)
         return arr[tuple(idxs)]  # (C, P)
