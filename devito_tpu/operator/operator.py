@@ -310,7 +310,9 @@ class Operator:
             if fn.is_SparseFunction or not hasattr(fn, 'set_device_layout'):
                 continue
             want = 'padded'
-            if (allow and not use_pallas
+            space_shape = fn.shape[1:] if fn.is_TimeFunction else fn.shape
+            lane_ok = bool(space_shape) and space_shape[-1] % 128 == 0
+            if (allow and not use_pallas and lane_ok
                     and not self._has_extended_regions
                     and name in self._zcompact_candidates
                     and fn.halo_state == 'zero'):
