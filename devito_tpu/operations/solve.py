@@ -33,7 +33,14 @@ def solve(eq, target, **kwargs):
     """Solve ``eq`` (an Eq or an expression implicitly == 0) for ``target``
     (typically ``u.forward``). Fast path: linear extraction a*target + b
     -> -b/a (reference linsolve, solve.py:63); falls back to sympy.solve.
-    Vector/tensor equations are solved per component."""
+    Vector/tensor equations are solved per component.
+
+    >>> from devito_tpu import Grid, TimeFunction, Eq
+    >>> grid = Grid(shape=(4, 4))
+    >>> u = TimeFunction(name='u', grid=grid)
+    >>> str(solve(Eq(u.dt, 1), u.forward))
+    'dt*(1 + u(t, x, y)/dt)'
+    """
     from ..types.tensor import TensorLike
     if isinstance(eq, TensorLike) or isinstance(target, TensorLike):
         out = target._new_from(

@@ -27,6 +27,14 @@ class Grid:
     Parameters mirror the reference Grid. ``shape`` counts grid points;
     ``extent`` is the physical size (so spacing = extent/(shape-1));
     ``origin`` the physical coordinates of the first point.
+   
+    >>> grid = Grid(shape=(10, 10), extent=(9., 9.))
+    >>> grid.shape
+    (10, 10)
+    >>> [d.name for d in grid.dimensions]
+    ['x', 'y']
+    >>> float(grid.spacing[0])
+    1.0
     """
 
     def __init__(self, shape, extent=None, origin=None, dimensions=None,
