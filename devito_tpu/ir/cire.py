@@ -79,7 +79,7 @@ class _Extractor:
         self.temps = []          # [(Function, expr, radius)]
         self.memo = {}           # srepr -> Function access
 
-    def materialize(self, expr, radius):
+    def materialize(self, expr, radius, staggered=None):
         key = expr
         if key in self.memo:
             fn, old_r = self.memo[key]
@@ -91,7 +91,8 @@ class _Extractor:
             return fn
         from ..types.dense import Function
         fn = Function(name=f'cire{len(self.temps)}', grid=self.grid,
-                      space_order=self.space_order, dtype=self.dtype)
+                      space_order=self.space_order, dtype=self.dtype,
+                      staggered=staggered)
         self.memo[key] = (fn, radius)
         self.temps.append((fn, expr, radius))
         return fn
@@ -228,29 +229,44 @@ def extract_derivative_temps(expressions):
 
     # pass 2: cross-equation shared derivative groups (counted on the
     # stage-1 forms; rewritten with temps placed at their first consumer)
-    counts = {}
+    owners = {}
+    lhs_sigs = {}
     for e in stage1:
         if isinstance(e, Eq) and _has_deriv(e.rhs):
             groups = []
             _top_level_deriv_groups(e.rhs, groups)
+            lhs_fn = getattr(e.lhs, 'function', None)
+            sig = getattr(lhs_fn, 'staggered', None) if lhs_fn is not None \
+                else None
             for g in groups:
-                counts.setdefault(g, set()).add(id(e))
-    # staggered/transposed groups are left in place: a node-anchored
-    # temporary would change the staggered-lattice projection rules
-    shared = {g for g, owners in counts.items()
-              if len(owners) > 1 and not _expr_any_stagger(g)
-              and not _has_transpose(g)}
+                owners.setdefault(g, set()).add(id(e))
+                lhs_sigs.setdefault(g, set()).add(sig)
+    # transposed groups are left in place; staggered groups are
+    # extracted only when every consumer's lhs sits on one common
+    # lattice (e.g. elastic's diag(div(v)) shared by the three node
+    # diagonal stress equations) — the temporary then carries that
+    # stagger and the _eval_at projection is unchanged
+    shared = {}
+    for g, own in owners.items():
+        if len(own) < 2 or _has_transpose(g):
+            continue
+        if not _expr_any_stagger(g):
+            shared[g] = None
+        elif len(lhs_sigs[g]) == 1:
+            shared[g] = next(iter(lhs_sigs[g]))
 
     stage2 = []
     for e in stage1:
         n0 = len(ex.temps)
         if shared and isinstance(e, Eq) and _has_deriv(e.rhs):
             mapping = {g: None for g in shared}
+            stags = dict(shared)
             # materialize lazily so placement lands at the first consumer
             def _map(expr):
                 if expr in mapping:
                     if mapping[expr] is None:
-                        mapping[expr] = ex.materialize(expr, 0)
+                        mapping[expr] = ex.materialize(
+                            expr, 0, staggered=stags[expr])
                     return mapping[expr]
                 if not isinstance(expr, sympy.Basic) or not expr.args:
                     return expr

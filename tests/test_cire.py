@@ -78,9 +78,11 @@ def test_viscoacoustic_adjoint_with_cire():
     assert np.isclose((term1 - term2) / term1, 0., atol=1e-11)
 
 
-def test_staggered_left_alone():
-    """Elastic staggered system: the pass must not extract (node temps
-    would change the staggered-lattice projection rules)."""
+def test_staggered_uniform_lattice_extraction():
+    """Elastic staggered system: groups shared across SAME-lattice
+    consumers (diag(div(v)) in the three node diagonal stress equations)
+    are extracted; mixed-lattice groups stay in place. Correctness is
+    pinned by test_elastic_reference_norms."""
     from devito_tpu.models.seismic.elastic import elastic_setup
     s = elastic_setup(shape=(30, 30), spacing=(20., 20.), tn=200.,
                       space_order=4, nbl=10)
@@ -88,7 +90,7 @@ def test_staggered_left_alone():
     temps = [it for it in op._schedule.body
              if getattr(it, 'target', None) is not None
              and it.target.name.startswith('cire')]
-    assert not temps
+    assert temps, "expected the shared div(v) group to be extracted"
 
 
 def test_acoustic_untouched():
