@@ -81,6 +81,8 @@ class TestAdjointTTI:
     @pytest.mark.parametrize('shape, space_order', [
         ((30, 35), 8),
         ((30, 35), 4),
+        ((24, 26, 28), 4),
+        ((24, 26, 28), 8),
     ])
     def test_adjoint_F_tti(self, shape, space_order):
         from devito_tpu.models.seismic.tti import tti_setup
