@@ -60,3 +60,15 @@ def test_fd_evaluation():
     assert out['dx_order2'].count('f(') == 2
     assert out['dx_left'] != out['dx_right']
     assert out['dx_T'] != out['dx_so8']
+
+
+def test_compiler_tour():
+    """Compiler-internals walkthrough (reference: examples/compiler
+    notebooks — here: evaluated equations, schedule, jaxpr, HLO)."""
+    from examples.compiler_tour import lowering_tour, introspection_tour
+    evaluated, items = lowering_tour()
+    assert 'h_x' in evaluated
+    assert len(items) == 1 and items[0].kind == 'dense'
+    jaxpr, hlo = introspection_tour()
+    assert 'while' in jaxpr or 'scan' in jaxpr or 'lambda' in jaxpr
+    assert 'module' in hlo and 'func' in hlo  # StableHLO text
