@@ -41,14 +41,6 @@ def _has_deriv(expr):
     return any(_has_deriv(a) for a in expr.args)
 
 
-def _has_transpose(expr):
-    if isinstance(expr, Derivative) and expr._transpose:
-        return True
-    if not isinstance(expr, sympy.Basic):
-        return False
-    return any(_has_transpose(a) for a in expr.args)
-
-
 def _deriv_radius(deriv):
     """Maximal stencil radius (grid points) of a Derivative's taps."""
     from ..finite_differences.tools import stencil_points
@@ -137,8 +129,7 @@ class _Extractor:
         operand, extract the operand's derivative subtrees."""
         if isinstance(expr, Derivative):
             if _has_deriv(expr.expr) and expr._method == 'FD' and \
-                    expr._weights is None and not expr._transpose and \
-                    not _has_transpose(expr.expr) and \
+                    expr._weights is None and \
                     not _expr_any_stagger(expr.expr):
                 # staggered operands are left in place: a node-anchored
                 # temporary would change the staggered-lattice projection
@@ -241,14 +232,13 @@ def extract_derivative_temps(expressions):
             for g in groups:
                 owners.setdefault(g, set()).add(id(e))
                 lhs_sigs.setdefault(g, set()).add(sig)
-    # transposed groups are left in place; staggered groups are
-    # extracted only when every consumer's lhs sits on one common
-    # lattice (e.g. elastic's diag(div(v)) shared by the three node
-    # diagonal stress equations) — the temporary then carries that
-    # stagger and the _eval_at projection is unchanged
+    # staggered groups are extracted only when every consumer's lhs
+    # sits on one common lattice (e.g. elastic's diag(div(v)) shared by
+    # the three node diagonal stress equations) — the temporary then
+    # carries that stagger and the _eval_at projection is unchanged
     shared = {}
     for g, own in owners.items():
-        if len(own) < 2 or _has_transpose(g):
+        if len(own) < 2:
             continue
         if not _expr_any_stagger(g):
             shared[g] = None
