@@ -191,3 +191,54 @@ def test_fwi_gradient_vs_oracle():
     den = np.linalg.norm(ref_grad) or 1.0
     rel = np.linalg.norm(our_grad - ref_grad) / den
     assert rel < 1e-6, f"gradient mismatch vs oracle: rel={rel:.3e}"
+
+
+def test_born_vs_oracle():
+    """Linearized Born modelling: scattered receiver data matches the
+    reference for a velocity perturbation."""
+    ref = harness.reference()
+    with ref.use():
+        acoustic_setup = ref.import_examples(
+            'seismic.acoustic.acoustic_example').acoustic_setup
+        import devito as dv
+        s = acoustic_setup(shape=(33, 33), spacing=(15., 15.), tn=300.,
+                           space_order=4, nbl=10, preset='layers-isotropic',
+                           dtype=np.float64)
+        dm = dv.Function(name='dm', grid=s.model.grid)
+        dm.data[12:20, 12:20] = 0.05
+        rec, _, _, _ = s.jacobian(dm)
+        ref_rec = np.asarray(rec.data).copy()
+
+    from devito_tpu.models.seismic import acoustic_setup as our_setup
+    from devito_tpu import Function
+    s2 = our_setup(shape=(33, 33), spacing=[15., 15.], tn=300.,
+                   space_order=4, nbl=10, preset='layers-isotropic',
+                   dtype=np.float64)
+    dm2 = Function(name='dm', grid=s2.model.grid)
+    dm2.data[12:20, 12:20] = 0.05
+    rec2, *_ = s2.jacobian(dm2)
+    den = np.linalg.norm(ref_rec) or 1.0
+    rel = np.linalg.norm(np.asarray(rec2.data) - ref_rec) / den
+    assert rel < 1e-6, f"born mismatch vs oracle: rel={rel:.3e}"
+
+
+def test_free_surface_vs_oracle():
+    """Free-surface acoustic forward matches the reference."""
+    ref = harness.reference()
+    with ref.use():
+        acoustic_setup = ref.import_examples(
+            'seismic.acoustic.acoustic_example').acoustic_setup
+        s = acoustic_setup(shape=(33, 33), spacing=(15., 15.), tn=300.,
+                           space_order=4, nbl=10, preset='layers-isotropic',
+                           fs=True, dtype=np.float64)
+        rec, u, _ = s.forward()
+        ref_rec = np.asarray(rec.data).copy()
+
+    from devito_tpu.models.seismic import acoustic_setup as our_setup
+    s2 = our_setup(shape=(33, 33), spacing=[15., 15.], tn=300.,
+                   space_order=4, nbl=10, preset='layers-isotropic',
+                   fs=True, dtype=np.float64)
+    rec2, u2, _ = s2.forward()
+    den = np.linalg.norm(ref_rec) or 1.0
+    rel = np.linalg.norm(np.asarray(rec2.data) - ref_rec) / den
+    assert rel < 1e-6, f"free-surface mismatch vs oracle: rel={rel:.3e}"
