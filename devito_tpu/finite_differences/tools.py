@@ -33,34 +33,33 @@ def generate_indices(fd_order, deriv_order, x0=0, stagger=0, side=None,
     stagger = Rational(stagger)
     rel = x0 - stagger  # location of eval point in the expr's index space
 
-    if side == 'left':
-        base = sympy.floor(rel)
-        ks = [base - i for i in range(fd_order + 1)]
-        ks.reverse()
-    elif side == 'right':
-        base = sympy.ceiling(rel)
-        ks = [base + i for i in range(fd_order + 1)]
-    elif rel.is_integer:
-        r = max(fd_order // 2, 1)
-        # For a first/odd derivative with fd_order==1 use a 2-point stencil,
-        # forward-biased on time/unstaggered expressions and backward-biased
-        # on staggered ones (reference generate_indices tie-break,
-        # finite_differences/tools.py:296-301)
-        if fd_order == 1:
-            if deriv_order % 2 == 0:
-                ks = [rel - 1, rel, rel + 1]
-            elif bias == 'backward':
-                ks = [rel - 1, rel]
-            else:
-                ks = [rel, rel + 1]
-            ks = [sympy.Integer(k) for k in ks]
+    if fd_order == 1 and rel.is_integer and side in (None, 'centered'):
+        # 2-point stencil for a first/odd derivative (and the 3-point
+        # centered one for even orders), forward-biased on
+        # time/unstaggered expressions and backward-biased on staggered
+        # ones (reference generate_indices tie-break, tools.py:296-301)
+        if deriv_order % 2 == 0:
+            ks = [rel - 1, rel, rel + 1]
+        elif bias == 'backward':
+            ks = [rel - 1, rel]
         else:
-            ks = [rel + i for i in range(-r, r + 1)]
-    else:
-        # Half-integer offset: fd_order points symmetric around rel
-        n = max(fd_order, 2)
-        lo = sympy.floor(rel) - (n // 2 - 1)
-        ks = [lo + i for i in range(n)]
+            ks = [rel, rel + 1]
+        return [sympy.Integer(k) for k in ks]
+
+    # the reference's unified window (tools.py:293-301): a centered
+    # radius-fd_order/2 window around the evaluation point, shifted one
+    # point for one-sided schemes; degenerate single-point windows grow
+    # forward (time/unstaggered) or backward (staggered)
+    sv = {'left': -1, 'right': 1}.get(side, 0)
+    r = Rational(fd_order, 2)
+    o_min = int(sympy.ceiling(rel - r)) + sv
+    o_max = int(sympy.floor(rel + r)) + sv
+    if o_max == o_min:
+        if bias == 'backward':
+            o_min -= 1
+        else:
+            o_max += 1
+    ks = list(range(o_min, o_max + 1))
     return [sympy.Integer(k) for k in ks]
 
 

@@ -38,8 +38,16 @@ CASES = [
     (4, 'dx2', 'dx2-so4'),
     (8, 'dy2', 'dy2-so8'),
     (4, 'dxdy', 'cross-so4'),
+    (8, 'dxdy', 'cross-so8'),
     (2, 'laplace', 'laplace-so2'),
     (6, 'laplace', 'laplace-so6'),
+    (6, 'dx2.T', 'dx2T-so6'),
+    (4, 'dy', 'dy-so4'),
+    (4, 'dy.T', 'dyT-so4'),
+    (6, 'dx', 'dx-so6'),
+    (2, 'dx2', 'dx2-so2-again'),
+    (4, 'dxl', 'left-so4'),
+    (4, 'dxr', 'right-so4'),
 ]
 
 
