@@ -242,3 +242,58 @@ def test_free_surface_vs_oracle():
     den = np.linalg.norm(ref_rec) or 1.0
     rel = np.linalg.norm(np.asarray(rec2.data) - ref_rec) / den
     assert rel < 1e-6, f"free-surface mismatch vs oracle: rel={rel:.3e}"
+
+
+def test_acoustic_ot4_vs_oracle():
+    """OT4 (4th-order-in-time) acoustic kernel matches the reference."""
+    ref = harness.reference()
+    with ref.use():
+        acoustic_setup = ref.import_examples(
+            'seismic.acoustic.acoustic_example').acoustic_setup
+        s = acoustic_setup(shape=(33, 33), spacing=(15., 15.), tn=300.,
+                           space_order=4, nbl=10, kernel='OT4',
+                           preset='layers-isotropic', dtype=np.float64)
+        rec, u, _ = s.forward()
+        ref_rec = np.asarray(rec.data).copy()
+
+    from devito_tpu.models.seismic import acoustic_setup as our_setup
+    s2 = our_setup(shape=(33, 33), spacing=[15., 15.], tn=300.,
+                   space_order=4, nbl=10, kernel='OT4',
+                   preset='layers-isotropic', dtype=np.float64)
+    rec2, u2, _ = s2.forward()
+    den = np.linalg.norm(ref_rec) or 1.0
+    rel = np.linalg.norm(np.asarray(rec2.data) - ref_rec) / den
+    assert rel < 1e-6, f"OT4 mismatch vs oracle: rel={rel:.3e}"
+
+
+def test_offgrid_receivers_vs_oracle():
+    """Receivers at non-grid coordinates: bilinear interpolation matches
+    the reference's generated interpolation loops."""
+    ref = harness.reference()
+    with ref.use():
+        import devito as dv
+        g = dv.Grid(shape=(31, 31), extent=(30., 30.), dtype=np.float64)
+        u = dv.TimeFunction(name='u', grid=g, space_order=2, save=8)
+        for t in range(8):
+            u.data[t] = np.fromfunction(
+                lambda i, j: np.sin(0.3 * i) * np.cos(0.2 * j) + t,
+                (31, 31))
+        rec = dv.SparseTimeFunction(name='rec', grid=g, npoint=5, nt=8)
+        coords = np.array([[3.3, 4.7], [15.01, 15.99], [0.2, 29.8],
+                           [29.9, 0.1], [10.5, 20.5]])
+        rec.coordinates.data[:] = coords
+        dv.Operator(rec.interpolate(expr=u))(time_m=0, time_M=7)
+        ref_vals = np.asarray(rec.data).copy()
+
+    from devito_tpu import (Grid, TimeFunction, SparseTimeFunction,
+                            Operator)
+    g2 = Grid(shape=(31, 31), extent=(30., 30.), dtype=np.float64)
+    u2 = TimeFunction(name='u', grid=g2, space_order=2, save=8)
+    for t in range(8):
+        u2.data[t] = np.fromfunction(
+            lambda i, j: np.sin(0.3 * i) * np.cos(0.2 * j) + t, (31, 31))
+    rec2 = SparseTimeFunction(name='rec', grid=g2, npoint=5, nt=8)
+    rec2.coordinates.data[:] = coords
+    Operator([rec2.interpolate(expr=u2)]).apply(time_m=0, time_M=7)
+    assert np.allclose(np.asarray(rec2.data), ref_vals, rtol=1e-12,
+                       atol=1e-13)
