@@ -35,7 +35,10 @@ def initialize_function(function, data, nbl, mapper=None, mode='constant',
         not isinstance(nbl[0], tuple) else nbl
     for n in nbl:
         nbl_pairs.append(n if isinstance(n, tuple) else (n, n))
-    np_mode = 'edge' if mode == 'constant' else 'reflect'
+    # reference semantics: 'constant' replicates the edge sample;
+    # 'reflect' mirrors INCLUDING the edge (numpy 'symmetric' — verified
+    # against the executed reference)
+    np_mode = 'edge' if mode == 'constant' else 'symmetric'
     padded = np.pad(data, nbl_pairs, mode=np_mode)
     if padded.shape != function.data.shape:
         raise ValueError(f"Padded shape {padded.shape} != function shape "
@@ -64,8 +67,8 @@ def gaussian_smooth(f, sigma=1, truncate=4.0, mode='reflect'):
         kernel /= kernel.sum()
         pad = [(0, 0)] * arr.ndim
         pad[axis] = (radius, radius)
-        padded = jnp.pad(arr, pad, mode='reflect' if mode == 'reflect'
-                         else 'edge')
+        padded = jnp.pad(arr, pad, mode='symmetric'
+                         if mode == 'reflect' else 'edge')
         out = jnp.zeros_like(arr)
         for i, w in enumerate(kernel):
             idx = [slice(None)] * arr.ndim

@@ -150,8 +150,9 @@ class DGaussSource(WaveletSource):
 
     @property
     def wavelet(self):
+        # reference formula (source.py DGaussSource.wavelet): width set by
+        # ``a`` directly, not by f0
         t0 = self.t0 or 1 / self.f0
         a = self.a or 1
         time = self.time_values - t0
-        return -2 * a * (np.pi * self.f0) ** 2 * time * np.exp(
-            -(np.pi * self.f0 * time) ** 2)
+        return -2 * a * time * np.exp(-a * time ** 2)

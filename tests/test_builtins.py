@@ -75,7 +75,7 @@ class TestInitializers:
             if mode == 'constant':
                 assert d[0, 5] == d[2, 5]   # edge replicate
             else:
-                assert d[1, 5] == d[3, 5]   # mirror
+                assert d[1, 5] == d[2, 5]   # mirror incl. edge (symmetric)
 
     def test_gaussian_smooth_preserves_mean(self):
         g = Grid(shape=(20, 20))

@@ -297,3 +297,67 @@ def test_offgrid_receivers_vs_oracle():
     Operator([rec2.interpolate(expr=u2)]).apply(time_m=0, time_M=7)
     assert np.allclose(np.asarray(rec2.data), ref_vals, rtol=1e-12,
                        atol=1e-13)
+
+
+def test_wavelets_vs_oracle():
+    """Ricker/Gabor/DGauss wavelet formulas match the reference."""
+    ref = harness.reference()
+    with ref.use():
+        import devito as dv
+        from examples.seismic import (RickerSource, GaborSource,
+                                      DGaussSource, TimeAxis)
+        g = dv.Grid(shape=(11, 11), extent=(100., 100.))
+        tr = TimeAxis(start=0., step=1.0, num=200)
+        vals = {}
+        for cls, nm in ((RickerSource, 'r'), (GaborSource, 'g'),
+                        (DGaussSource, 'd')):
+            s = cls(name=f'src_{nm}', grid=g, f0=0.02, npoint=1,
+                    time_range=tr)
+            vals[nm] = np.asarray(s.data).copy()
+
+    from devito_tpu import Grid
+    from devito_tpu.models.seismic.source import (
+        RickerSource as OR, GaborSource as OG, DGaussSource as OD,
+        TimeAxis as OT)
+    g2 = Grid(shape=(11, 11), extent=(100., 100.))
+    tr2 = OT(start=0., step=1.0, num=200)
+    for cls, nm in ((OR, 'r'), (OG, 'g'), (OD, 'd')):
+        s = cls(name=f'o_{nm}', grid=g2, f0=0.02, npoint=1, time_range=tr2)
+        ours = np.asarray(s.data)
+        assert np.allclose(ours, vals[nm], rtol=1e-6, atol=1e-8), nm
+
+
+def test_initializers_vs_oracle():
+    """initialize_function pad modes and gaussian_smooth match."""
+    ref = harness.reference()
+    rng = np.random.default_rng(0)
+    data = rng.standard_normal((12, 12))
+    with ref.use():
+        import devito as dv
+        from devito.builtins import (initialize_function as ref_init,
+                                     gaussian_smooth as ref_smooth)
+        outs = {}
+        for mode in ('constant', 'reflect'):
+            g = dv.Grid(shape=(20, 20), dtype=np.float64)
+            f = dv.Function(name=f'f{mode}', grid=g)
+            ref_init(f, data, 4, mode=mode)
+            outs[mode] = np.asarray(f.data).copy()
+        gs = dv.Grid(shape=(12, 12), dtype=np.float64)
+        h = dv.Function(name='h', grid=gs)
+        h.data[:] = data
+        ref_smooth(h, sigma=2)
+        outs['smooth'] = np.asarray(h.data).copy()
+
+    from devito_tpu import Grid, Function
+    from devito_tpu.builtins import initialize_function, gaussian_smooth
+    for mode in ('constant', 'reflect'):
+        g = Grid(shape=(20, 20), dtype=np.float64)
+        f = Function(name=f'of{mode}', grid=g)
+        initialize_function(f, data, 4, mode=mode)
+        assert np.allclose(np.asarray(f.data), outs[mode], atol=1e-12), mode
+    gs = Grid(shape=(12, 12), dtype=np.float64)
+    h = Function(name='oh', grid=gs, dtype=np.float64)
+    h.data[:] = data
+    sm = gaussian_smooth(h, sigma=2)
+    assert np.allclose(np.asarray(sm.data), outs['smooth'], rtol=1e-5,
+                       atol=1e-7)
