@@ -361,3 +361,58 @@ def test_initializers_vs_oracle():
     sm = gaussian_smooth(h, sigma=2)
     assert np.allclose(np.asarray(sm.data), outs['smooth'], rtol=1e-5,
                        atol=1e-7)
+
+
+def test_subdomain_thickness_vs_oracle():
+    """SubDomain left/middle/right thickness semantics match."""
+    ref = harness.reference()
+    with ref.use():
+        import devito as dv
+
+        class Mid(dv.SubDomain):
+            name = 'mid'
+
+            def define(self, dimensions):
+                x, y = dimensions
+                return {x: ('middle', 3, 4), y: ('right', 5)}
+
+        g = dv.Grid(shape=(14, 14), subdomains=(Mid(),))
+        f = dv.Function(name='f', grid=g)
+        dv.Operator(dv.Eq(f, 1, subdomain=g.subdomains['mid']))()
+        ref_f = np.asarray(f.data).copy()
+
+    from devito_tpu import Grid, Function, Eq, Operator, SubDomain
+
+    class Mid2(SubDomain):
+        name = 'mid'
+
+        def define(self, dims):
+            x, y = dims
+            return {x: ('middle', 3, 4), y: ('right', 5)}
+
+    g2 = Grid(shape=(14, 14), subdomains=(Mid2(),))
+    f2 = Function(name='f', grid=g2)
+    Operator(Eq(f2, 1, subdomain=g2.subdomains['mid'])).apply()
+    assert np.array_equal(np.asarray(f2.data), ref_f)
+
+
+def test_subsampled_save_vs_oracle():
+    """ConditionalDimension factor saves match row-for-row."""
+    ref = harness.reference()
+    with ref.use():
+        import devito as dv
+        g = dv.Grid(shape=(10, 10))
+        u = dv.TimeFunction(name='u', grid=g)
+        tsub = dv.ConditionalDimension('t_sub', parent=g.time_dim, factor=4)
+        us = dv.TimeFunction(name='us', grid=g, save=5, time_dim=tsub)
+        dv.Operator([dv.Eq(u.forward, u + 1), dv.Eq(us, u)])(time_M=16)
+        ref_us = np.asarray(us.data).copy()
+
+    from devito_tpu import (Grid, TimeFunction, Eq, Operator,
+                            ConditionalDimension)
+    g2 = Grid(shape=(10, 10))
+    u2 = TimeFunction(name='u', grid=g2)
+    ts2 = ConditionalDimension('t_sub', parent=g2.time_dim, factor=4)
+    us2 = TimeFunction(name='us', grid=g2, save=5, time_dim=ts2)
+    Operator([Eq(u2.forward, u2 + 1), Eq(us2, u2)]).apply(time_M=16, dt=1.)
+    assert np.array_equal(np.asarray(us2.data), ref_us)
