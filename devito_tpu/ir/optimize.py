@@ -174,8 +174,11 @@ def hoist_invariants(schedule):
         temp = Function(name=name, grid=grid, space_order=ext,
                         dtype=grid.dtype)
         region = tuple((-ext, n + ext) for n in grid.shape)
-        new_prologue.append(LoweredEq(temp.function, None, None, region,
-                                      cand, time_dep=False))
+        le = LoweredEq(temp.function, None, None, region,
+                       cand, time_dep=False)
+        le.internal = True   # not a user equation: spatial-bounds
+        # clamping (Operator._bounded_runner) must leave it whole
+        new_prologue.append(le)
         mapper[cand] = temp
 
     if not mapper:

@@ -16,7 +16,8 @@ from collections import OrderedDict
 import numpy as np
 import sympy
 
-from ..ir.lowering import (LoweredEq, LoweredSparse, lower_expressions,
+from ..ir.lowering import (LoweredEq, LoweredSparse, Schedule,
+                           lower_expressions,
                            estimate_cost, time_access_of, space_offsets_of)
 from ..compiler.executor import build_runner
 from ..types.basic import AbstractFunction, retrieve_functions
@@ -106,7 +107,8 @@ class Operator:
     def __getstate__(self):
         state = dict(self.__dict__)
         for k in ('_runner', '_jit_cache', '_halo_runner', '_stream_plan',
-                  '_tile_override', '_autotuned'):
+                  '_tile_override', '_autotuned', '_runner_sel',
+                  '_bounded_cache'):
             state.pop(k, None)
         return state
 
@@ -536,6 +538,19 @@ class Operator:
                     f"Override `{name}` has dtype {np.dtype(ofn.dtype)}; "
                     f"the Operator was built for {np.dtype(orig.dtype)}")
 
+        # per-dimension spatial bounds (reference: x_m=/x_M= apply kwargs
+        # derived from the dimensions' _arg_values protocol)
+        sbounds = {}
+        if self._grid is not None:
+            for d in self._grid.dimensions:
+                lo = kwargs.pop(f'{d.name}_m', None)
+                hi = kwargs.pop(f'{d.name}_M', None)
+                if lo is not None or hi is not None:
+                    sbounds[d.name] = (None if lo is None else int(lo),
+                                       None if hi is None else int(hi))
+        self._runner_sel = self._bounded_runner(sbounds) if sbounds \
+            else self._runner
+
         bound = {}
         for name, fn in self._reads.items():
             bound[name] = overrides.get(name, fn)
@@ -814,11 +829,56 @@ class Operator:
         _clear_plans()
         self._jit_cache.clear()
 
+    def _bounded_runner(self, sbounds):
+        """Runner with dense body regions clamped to per-dimension
+        bounds (reference: spatial x_m/x_M apply arguments). Halo-extended
+        CIRE temporaries keep their extension relative to the clamp so
+        consumer taps stay covered."""
+        from copy import copy as _c
+        key = tuple(sorted(sbounds.items()))
+        cache = self.__dict__.setdefault('_bounded_cache', {})
+        if key in cache:
+            return cache[key]
+
+        def clamp(it):
+            if not isinstance(it, LoweredEq) or it.target.grid is None \
+                    or getattr(it, 'internal', False):
+                return it
+            dims = [d.name for d in it.target.space_dimensions]
+            region = []
+            for dn, (a, b) in zip(dims, it.region):
+                lo, hi = sbounds.get(dn, (None, None))
+                ext = max(0, -a)   # CIRE halo extension
+                na = a if lo is None else max(a, lo - ext)
+                nb = b if hi is None else min(b, hi + 1 + ext)
+                if nb <= na:
+                    return None
+                region.append((na, nb))
+            new = _c(it)
+            new.region = tuple(region)
+            new.__dict__.pop('_pallas_plan', None)
+            return new
+
+        body = [c for c in (clamp(i) for i in self._schedule.body)
+                if c is not None]
+        pro = [c for c in (clamp(i) for i in self._schedule.prologue)
+               if c is not None]
+        epi = [c for c in (clamp(i) for i in self._schedule.epilogue)
+               if c is not None]
+        sched = Schedule(pro, body, epi, self._schedule.direction)
+        runner = build_runner(sched, tuple(self._writes),
+                              stepping_info=self._stepping_info,
+                              errctl=self._errctl)
+        cache[key] = runner
+        return runner
+
     def _compiled(self, wbufs, rbufs, params, tm, tM):
         import jax
         from ..compiler import pallas_backend as pb
         pb.set_tile_override(getattr(self, '_tile_override', None))
-        key = (tuple(sorted((k, v.shape, str(v.dtype))
+        runner = getattr(self, '_runner_sel', None) or self._runner
+        key = (id(runner),
+               tuple(sorted((k, v.shape, str(v.dtype))
                             for k, v in wbufs.items())),
                tuple(sorted((k, v.shape, str(v.dtype))
                             for k, v in rbufs.items())),
@@ -827,7 +887,7 @@ class Operator:
         if hit is not None:
             return hit, False
         tic = _time.perf_counter()
-        jitted = jax.jit(self._runner, donate_argnums=(0,))
+        jitted = jax.jit(runner, donate_argnums=(0,))
         compiled = jitted.lower(wbufs, rbufs, params, tm, tM).compile(
             **_compile_kwargs())
         jit_time = _time.perf_counter() - tic

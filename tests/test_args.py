@@ -62,3 +62,25 @@ def test_src_time_M_bound_matches_reference():
     nt = solver.geometry.nt
     with pytest.raises(InvalidArgument, match="out of bounds"):
         solver.forward(time_M=nt + 10)
+
+
+def test_spatial_bounds_override():
+    """Per-dimension x_m/x_M apply kwargs restrict the iteration region
+    (reference: dimension _arg_values spatial overrides)."""
+    import numpy as np
+    from devito_tpu import Grid, Function, TimeFunction, Eq, Operator
+    g = Grid(shape=(10, 10))
+    f = Function(name='fsb', grid=g)
+    Operator(Eq(f, 1)).apply(x_m=2, x_M=5, y_m=1, y_M=8)
+    d = np.asarray(f.data)
+    assert d.sum() == 32.0
+    assert d[2:6, 1:9].min() == 1.0 and d[0].sum() == 0
+
+    u = TimeFunction(name='usb', grid=g)
+    op = Operator(Eq(u.forward, u + 1))
+    op.apply(time_M=2, dt=1., x_m=3, x_M=6)
+    rows = np.asarray(u.data)[0].sum(axis=1)
+    assert rows[3] == 20. and rows[0] == 0.
+    # same operator, full domain afterwards (per-apply runner cache)
+    op.apply(time_M=2, dt=1.)
+    assert np.asarray(u.data)[0].sum() > 200.

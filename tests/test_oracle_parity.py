@@ -416,3 +416,22 @@ def test_subsampled_save_vs_oracle():
     us2 = TimeFunction(name='us', grid=g2, save=5, time_dim=ts2)
     Operator([Eq(u2.forward, u2 + 1), Eq(us2, u2)]).apply(time_M=16, dt=1.)
     assert np.array_equal(np.asarray(us2.data), ref_us)
+
+
+def test_spatial_bounds_vs_oracle():
+    """x_m/x_M apply arguments restrict regions identically."""
+    ref = harness.reference()
+    with ref.use():
+        import devito as dv
+        g = dv.Grid(shape=(12, 12))
+        u = dv.TimeFunction(name='u', grid=g)
+        dv.Operator(dv.Eq(u.forward, u + 1))(time_M=3, x_m=2, x_M=7,
+                                             y_m=4, y_M=9)
+        ref_u = np.asarray(u.data).copy()
+
+    from devito_tpu import Grid, TimeFunction, Eq, Operator
+    g2 = Grid(shape=(12, 12))
+    u2 = TimeFunction(name='u', grid=g2)
+    Operator(Eq(u2.forward, u2 + 1)).apply(time_M=3, dt=1., x_m=2, x_M=7,
+                                           y_m=4, y_M=9)
+    assert np.array_equal(np.asarray(u2.data), ref_u)
