@@ -42,8 +42,10 @@ class Grid:
                  comm=None, topology=None, distributor=None):
         self._shape = as_tuple(shape)
         ndim = len(self._shape)
+        # reference default: the UNIT box (extent 1.0 per dim, so
+        # spacing = 1/(n-1)) — verified against the executed reference
         self._extent = as_tuple(extent) if extent is not None else \
-            tuple(float(s - 1) for s in self._shape)
+            (1.,) * ndim
         self._origin = as_tuple(origin) if origin is not None else \
             (0.,) * ndim
 
