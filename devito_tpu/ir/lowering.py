@@ -223,6 +223,43 @@ def _has_time(expr):
     return any(isinstance(s, Dimension) and s.is_Time for s in free)
 
 
+def _subdim_bounds(sd, n):
+    """(start, stop) of a SubDimension within a domain of size ``n``
+    (reference: SubDimension left/right/middle thickness semantics)."""
+    side = sd.side
+    w = getattr(sd, '_width', None)
+    if side == 'left':
+        return (0, int(w))
+    if side == 'right':
+        return (n - int(w), n)
+    lt, rt = sd.thickness
+    return (int(lt or 0), n - int(rt or 0))
+
+
+def _restrict_subdims(lhs, region):
+    """Intersect the write region with any SubDimension used as an index
+    in the lhs access (the reference's `eq.subs(x, xi)` idiom for
+    boundary-strip equations)."""
+    if region is None:
+        return region
+    fn = lhs.function
+    dims = fn.dimensions
+    args = lhs.args
+    start = 1 if (dims and (dims[0].is_Time or isinstance(
+        dims[0], ConditionalDimension))) else 0
+    out = list(region)
+    for axis, a in enumerate(args[start:]):
+        free = [d for d in sympy.sympify(a).free_symbols
+                if isinstance(d, Dimension) and getattr(d, 'is_Sub', False)]
+        if not free:
+            continue
+        sd = free[0]
+        a0, b0 = out[axis]
+        sa, sb = _subdim_bounds(sd, b0 if b0 is not None else 0)
+        out[axis] = (max(a0, sa), min(b0, sb))
+    return tuple(out)
+
+
 def _region_of(target, subdomain):
     """(start, stop) per space dim of the write region."""
     fn = target.function
@@ -272,6 +309,7 @@ def lower_one(eq):
                 f"Shifted spatial writes not supported (lhs {lhs})")
 
     region = _region_of(lhs, eq.subdomain)
+    region = _restrict_subdims(lhs, region)
     hw = int(getattr(eq, '_halo_write', 0) or 0)
     if hw and eq.subdomain is None:
         # CIRE temporary: computed into the halo so consumer stencils'

@@ -89,3 +89,32 @@ def test_time_bounds_validation():
     op = Operator(Eq(u.forward, u + 1))
     with pytest.raises(InvalidArgument):
         op.apply(time_M=10, dt=1.)
+
+
+def test_subdimension_in_user_equations():
+    """SubDimension.left/right/middle via eq.subs(x, xi) — the
+    reference's boundary-strip idiom (reference: types/dimension.py
+    SubDimension:688; oracle-verified row pattern)."""
+    import numpy as np
+    from devito_tpu import Grid, TimeFunction, Eq, Operator, SubDimension
+    g = Grid(shape=(12, 12))
+    x, y = g.dimensions
+    u = TimeFunction(name='u', grid=g)
+    xl = SubDimension.left(name='xl', parent=x, thickness=3)
+    xr = SubDimension.right(name='xr', parent=x, thickness=2)
+    xm = SubDimension.middle(name='xm', parent=x, thickness_left=4,
+                             thickness_right=5)
+    Operator([Eq(u.forward, u + 1).subs(x, xl)]).apply(time_M=0, dt=1.)
+    rows = np.asarray(u.data)[1].sum(axis=1)
+    assert rows[:3].min() == 12. and rows[3:].max() == 0.
+
+    v = TimeFunction(name='v', grid=g)
+    Operator([Eq(v.forward, v + 1).subs(x, xr)]).apply(time_M=0, dt=1.)
+    rows = np.asarray(v.data)[1].sum(axis=1)
+    assert rows[-2:].min() == 12. and rows[:-2].max() == 0.
+
+    w = TimeFunction(name='w', grid=g)
+    Operator([Eq(w.forward, w + 1).subs(x, xm)]).apply(time_M=0, dt=1.)
+    rows = np.asarray(w.data)[1].sum(axis=1)
+    assert rows[4:7].min() == 12.
+    assert rows[:4].max() == 0. and rows[7:].max() == 0.
