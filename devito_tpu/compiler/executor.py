@@ -329,9 +329,10 @@ def _sparse_geometry(sf, bufs, params, shard_spec=None):
             n = grid.shape[j]
             offsets, coeffs, gp = interp.dim_weights_precomputed(j)
             if interp.name == 'precomputed':
-                # sample points are gridpoint + (i - r + 1), i in [0, 2r)
-                # (reference sinc/precomputed convention)
-                offsets = [i - r + 1 for i in range(coeffs.shape[1])]
+                # gridpoint is the MINIMUM index; sample points are
+                # gridpoint + i, i in [0, ncoeffs) (verified against the
+                # executed reference's PrecomputedSparseFunction)
+                offsets = list(range(coeffs.shape[1]))
             # matrix convention: gridpoint is the MINIMUM index,
             # offsets 0..r-1 (reference docstring)
             wlist = [coeffs[:, i] for i in range(coeffs.shape[1])]

@@ -435,3 +435,32 @@ def test_spatial_bounds_vs_oracle():
     Operator(Eq(u2.forward, u2 + 1)).apply(time_M=3, dt=1., x_m=2, x_M=7,
                                            y_m=4, y_M=9)
     assert np.array_equal(np.asarray(u2.data), ref_u)
+
+
+def test_precomputed_sparse_vs_oracle():
+    """PrecomputedSparseFunction gridpoint/coefficient conventions."""
+    ref = harness.reference()
+    rng = np.random.default_rng(3)
+    coeffs = rng.uniform(0.1, 0.9, (3, 2, 2))
+    gpts = np.array([[2, 3], [5, 5], [1, 6]])
+    with ref.use():
+        import devito as dv
+        g = dv.Grid(shape=(9, 9), dtype=np.float64)
+        p = dv.PrecomputedSparseFunction(
+            name='p', grid=g, npoint=3, r=2, gridpoints=gpts,
+            interpolation_coeffs=coeffs.copy())
+        f = dv.Function(name='f', grid=g, dtype=np.float64)
+        f.data[:] = np.arange(81.).reshape(9, 9)
+        dv.Operator(p.interpolate(expr=f))()
+        ref_vals = np.asarray(p.data).copy()
+
+    from devito_tpu import (Grid, Function, Operator,
+                            PrecomputedSparseFunction)
+    g2 = Grid(shape=(9, 9), dtype=np.float64)
+    p2 = PrecomputedSparseFunction(
+        name='p', grid=g2, npoint=3, r=2, gridpoints=gpts,
+        interpolation_coeffs=coeffs.copy())
+    f2 = Function(name='f', grid=g2, dtype=np.float64)
+    f2.data[:] = np.arange(81.).reshape(9, 9)
+    Operator([p2.interpolate(expr=f2)]).apply()
+    assert np.allclose(np.asarray(p2.data), ref_vals, rtol=1e-12)
