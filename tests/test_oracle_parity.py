@@ -464,3 +464,31 @@ def test_precomputed_sparse_vs_oracle():
     f2.data[:] = np.arange(81.).reshape(9, 9)
     Operator([p2.interpolate(expr=f2)]).apply()
     assert np.allclose(np.asarray(p2.data), ref_vals, rtol=1e-12)
+
+
+def test_sinc_interpolation_vs_oracle():
+    """Kaiser-windowed sinc interpolation (Hicks) matches the reference."""
+    ref = harness.reference()
+    coords = np.array([[3.37, 4.71], [10.12, 11.89]])
+    with ref.use():
+        import devito as dv
+        g = dv.Grid(shape=(21, 21), extent=(20., 20.), dtype=np.float64)
+        f = dv.Function(name='f', grid=g, space_order=4, dtype=np.float64)
+        f.data[:] = np.fromfunction(lambda i, j: np.sin(0.4 * i) + 0.1 * j,
+                                    (21, 21))
+        p = dv.SparseFunction(name='p', grid=g, npoint=2,
+                              interpolation='sinc', r=4)
+        p.coordinates.data[:] = coords
+        dv.Operator(p.interpolate(expr=f))()
+        ref_vals = np.asarray(p.data).copy()
+
+    from devito_tpu import Grid, Function, Operator, SparseFunction
+    g2 = Grid(shape=(21, 21), extent=(20., 20.), dtype=np.float64)
+    f2 = Function(name='f', grid=g2, space_order=4, dtype=np.float64)
+    f2.data[:] = np.fromfunction(lambda i, j: np.sin(0.4 * i) + 0.1 * j,
+                                 (21, 21))
+    p2 = SparseFunction(name='p', grid=g2, npoint=2,
+                        interpolation='sinc', r=4)
+    p2.coordinates.data[:] = coords
+    Operator([p2.interpolate(expr=f2)]).apply()
+    assert np.allclose(np.asarray(p2.data), ref_vals, rtol=1e-10)
