@@ -232,6 +232,16 @@ class PrecomputedSparseTimeFunction(PrecomputedSparseFunction,
     pass
 
 
+class _NamedArray(np.ndarray):
+    """ndarray view exposing itself as ``.data`` — reference API shape
+    (``msf.gridpoints.data[:] = ...``, ``coeffs[d].data[:] = ...``) while
+    staying a plain array for internal consumers."""
+
+    @property
+    def data(self):
+        return self
+
+
 class MatrixSparseTimeFunction(SparseTimeFunction):
     """Externally-defined interpolation with matrix-coupled data channels
     (reference: types/sparse.py:1399 — nloc locations with explicit
@@ -254,6 +264,9 @@ class MatrixSparseTimeFunction(SparseTimeFunction):
         cls._gridpoints = None if gridpoints is None else \
             np.asarray(gridpoints, dtype=np.int32)
         cls._interp_coeffs = interpolation_coeffs
+        # reference semantics: the data channels are the matrix columns
+        kwargs.setdefault('npoint', cls._matrix.shape[1]
+                          if cls._matrix is not None else 0)
         super().__init_metadata__(r=r, **kwargs)
 
     @property
@@ -266,7 +279,11 @@ class MatrixSparseTimeFunction(SparseTimeFunction):
 
     @property
     def gridpoints(self):
-        return type(self)._gridpoints
+        cls = type(self)
+        if cls._gridpoints is None:
+            cls._gridpoints = np.zeros((self.nloc, self.grid.dim),
+                                       dtype=np.int32)
+        return cls._gridpoints.view(_NamedArray)
 
     @gridpoints.setter
     def gridpoints(self, value):
@@ -276,12 +293,12 @@ class MatrixSparseTimeFunction(SparseTimeFunction):
     def interpolation_coefficients(self):
         cls = type(self)
         if cls._interp_coeffs is None:
-            nd = self.grid.dim
             cls._interp_coeffs = {
                 d: np.zeros((self.nloc, cls._r_points),
                             dtype=self.dtype)
                 for d in self.grid.dimensions}
-        return cls._interp_coeffs
+        return {d: v.view(_NamedArray) if isinstance(v, np.ndarray) else v
+                for d, v in cls._interp_coeffs.items()}
 
     @property
     def interpolator(self):

@@ -492,3 +492,44 @@ def test_sinc_interpolation_vs_oracle():
     p2.coordinates.data[:] = coords
     Operator([p2.interpolate(expr=f2)]).apply()
     assert np.allclose(np.asarray(p2.data), ref_vals, rtol=1e-10)
+
+
+def test_msf_vs_oracle():
+    """MatrixSparseTimeFunction (scipy-matrix-coupled channels)."""
+    import scipy.sparse as sp
+    ref = harness.reference()
+    M = np.array([[1.0, 0.0], [0.5, 0.5]])
+    gpts = [[3, 4], [5, 5]]
+
+    def fill(msf, grid):
+        msf.gridpoints.data[:] = gpts
+        for d in grid.dimensions:
+            msf.interpolation_coefficients[d].data[:] = 1.
+
+    with ref.use():
+        import devito as dv
+        from devito.types.sparse import MatrixSparseTimeFunction as RMSF
+        g = dv.Grid(shape=(9, 9), dtype=np.float64)
+        msf = RMSF(name='m', grid=g, r=1, matrix=sp.csr_matrix(M), nt=4)
+        fill(msf, g)
+        f = dv.TimeFunction(name='f', grid=g, save=4, dtype=np.float64)
+        for t in range(4):
+            f.data[t] = t + np.arange(81.).reshape(9, 9) / 100.
+        msf.manual_scatter()
+        dv.Operator(msf.interpolate(f))(time_m=0, time_M=3)
+        msf.manual_gather()
+        ref_vals = np.asarray(msf.data).copy()
+
+    from devito_tpu import (Grid, TimeFunction, Operator,
+                            MatrixSparseTimeFunction)
+    g2 = Grid(shape=(9, 9), dtype=np.float64)
+    m2 = MatrixSparseTimeFunction(name='m', grid=g2, r=1,
+                                  matrix=sp.csr_matrix(M), nt=4)
+    fill(m2, g2)
+    f2 = TimeFunction(name='f', grid=g2, save=4, dtype=np.float64)
+    for t in range(4):
+        f2.data[t] = t + np.arange(81.).reshape(9, 9) / 100.
+    m2.manual_scatter()
+    Operator([m2.interpolate(f2)]).apply(time_m=0, time_M=3)
+    m2.manual_gather()
+    assert np.allclose(np.asarray(m2.data), ref_vals, rtol=1e-12)
