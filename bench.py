@@ -7,14 +7,29 @@ Methodology mirrors the reference (FAQ.md:826): GPts/s = grid points x
 timesteps / wall seconds, steady-state (post-jit) timing. ``vs_baseline``
 is the achieved fraction of the BASELINE.md target (80% of the per-chip
 HBM-bandwidth roofline for this stencil).
+
+Resilience architecture (the remote-TPU tunnel can degrade to hundreds of
+seconds per RPC, which zeroed round 1's number): the measurement runs in a
+child process that emits one JSON line per timed chunk; the parent
+enforces per-line deadlines and a global budget, kills a wedged child, and
+falls back to smaller grids. Chunks come in (small, large) step-count
+pairs so the steady-state rate is estimated from the *difference*
+(K2-K1)*N^3/(t2-t1), cancelling the fixed per-RPC tunnel overhead. The
+final value is the median pair estimate of the largest grid that produced
+any; a mid-run stall therefore still yields a valid measured rate instead
+of 0.0.
 """
 
 import json
 import os
+import subprocess
 import sys
+import threading
 import time
 
 import numpy as np
+
+METRIC = "acoustic3d_so8_forward_gpts_per_chip"
 
 
 def roofline_gpts(device_kind, bytes_per_point):
@@ -33,49 +48,23 @@ def roofline_gpts(device_kind, bytes_per_point):
     return bw / bytes_per_point / 1e9
 
 
-def _watchdog(seconds):
-    """Emit a zero-value line and hard-exit if the device wedges (the
-    remote TPU tunnel can hang mid-RPC); keeps the driver's bench step
-    from timing out without output."""
-    import threading
+# ---------------------------------------------------------------- child
 
-    def _fire():
-        print(json.dumps({
-            "metric": "acoustic3d_so8_forward_gpts_per_chip",
-            "value": 0.0, "unit": "GPts/s", "vs_baseline": 0.0,
-            "note": f"device unresponsive after {seconds}s",
-        }), flush=True)
-        import os as _os
-        _os._exit(3)
+def child_main(n, so):
+    """Run the measurement, one JSON line per event on stdout."""
+    def emit(**kw):
+        print(json.dumps(kw), flush=True)
 
-    t = threading.Timer(seconds, _fire)
-    t.daemon = True
-    t.start()
-    return t
-
-
-def main():
     import jax
     from devito_tpu import configuration
-    # the Pallas backend is opt-in for benchmarking until its pipelined v2
-    # beats the XLA slice path
     configuration['backend'] = os.environ.get('BENCH_BACKEND', 'xla')
     from devito_tpu import Grid, TimeFunction, Function, Eq, Operator, solve
-    from devito_tpu.models.seismic import demo_model, AcquisitionGeometry
-    from devito_tpu.models.seismic.acoustic import ForwardOperator
-
-    timer = _watchdog(int(os.environ.get('BENCH_TIMEOUT', 480)))
-
-    n = int(os.environ.get('BENCH_SIZE', 256))
-    so = int(os.environ.get('BENCH_SO', 8))
-    steps = int(os.environ.get('BENCH_STEPS', 512))
-    shape = (n, n, n)
 
     dev = jax.devices()[0]
     kind = getattr(dev, 'device_kind', str(dev))
+    emit(event='devices', kind=kind)
 
-    # Plain damped acoustic stencil on an n^3 grid (reference benchmark
-    # config family: benchmarks/user/benchmark.py -P acoustic)
+    shape = (n, n, n)
     grid = Grid(shape=shape, extent=tuple(float(s - 1) * 10 for s in shape),
                 dtype=np.float32)
     u = TimeFunction(name='u', grid=grid, time_order=2, space_order=so)
@@ -87,7 +76,6 @@ def main():
     stencil = solve(m * u.dt2 - u.laplace + damp * u.dt, u.forward)
     op = Operator(Eq(u.forward, stencil), subs=grid.spacing_map,
                   name='BenchForward')
-
     dt = 0.6 * 10.0 / 1.5 / (3 ** 0.5) / 4  # safely below CFL
 
     def sync():
@@ -100,32 +88,169 @@ def main():
         from devito_tpu.compiler import pallas_backend as pb
         pb.set_tile_override(tuple(int(v) for v in tiles.split(',')))
 
-    # steady-state methodology (reference FAQ.md:826): enough steps that
-    # the per-apply dispatch/fetch overhead through the remote-TPU tunnel
-    # (~90 ms) is amortized out of the throughput number
-    # warmup (jit compile + 2 steps); optional tile autotuning
+    # warmup: jit compile + 2 steps; optional tile autotuning
     at = os.environ.get('BENCH_AUTOTUNE')
+    t0 = time.perf_counter()
     op.apply(time_m=0, time_M=1, dt=dt, autotune=at if at else None)
     sync()
-    # timed run
-    t0 = time.perf_counter()
-    op.apply(time_m=0, time_M=steps - 1, dt=dt)
-    sync()
-    elapsed = time.perf_counter() - t0
+    emit(event='ready', warmup_secs=round(time.perf_counter() - t0, 3))
 
-    gpts = np.prod(shape) * steps / elapsed / 1e9
+    k1 = int(os.environ.get('BENCH_K1', 64))
+    k2 = int(os.environ.get('BENCH_K2', 320))
+    pairs = int(os.environ.get('BENCH_PAIRS', 10))
+    for i in range(pairs):
+        for k in (k1, k2):
+            t0 = time.perf_counter()
+            op.apply(time_m=0, time_M=k - 1, dt=dt)
+            sync()
+            emit(event='chunk', i=i, steps=k,
+                 secs=time.perf_counter() - t0)
+    emit(event='done')
 
-    # bytes/pt for this stencil (u[t] read once amortized, u[t-1], vp, damp
-    # reads + u[t+1] write = 5 f32 streams)
-    target = 0.8 * roofline_gpts(kind, bytes_per_point=5 * 4)
-    timer.cancel()
-    print(json.dumps({
-        "metric": f"acoustic3d_so{so}_forward_gpts_per_chip",
-        "value": round(float(gpts), 3),
+
+# --------------------------------------------------------------- parent
+
+class ChildRun:
+    """Launch the child for grid size `n`; collect chunk lines with
+    per-line deadlines; estimate the steady-state rate."""
+
+    def __init__(self, n, so):
+        self.n = n
+        self.so = so
+        self.kind = None
+        self.chunks = []          # (steps, secs)
+        self.done = False
+
+    def run(self, ready_deadline, line_deadline, global_deadline):
+        import queue
+        q = queue.Queue()
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__),
+             '--child', str(self.n), str(self.so)],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
+
+        def reader():
+            for line in proc.stdout:
+                q.put(line)
+            q.put(None)
+
+        threading.Thread(target=reader, daemon=True).start()
+        deadline = min(time.monotonic() + ready_deadline, global_deadline)
+        try:
+            while True:
+                timeout = deadline - time.monotonic()
+                if timeout <= 0:
+                    return
+                try:
+                    line = q.get(timeout=min(timeout, 5.0))
+                except queue.Empty:
+                    continue
+                if line is None:
+                    return
+                try:
+                    msg = json.loads(line)
+                except ValueError:
+                    continue
+                ev = msg.get('event')
+                if ev == 'devices':
+                    self.kind = msg.get('kind')
+                elif ev == 'ready':
+                    print(f"[bench] n={self.n} ready "
+                          f"(warmup {msg.get('warmup_secs')}s)",
+                          file=sys.stderr, flush=True)
+                elif ev == 'chunk':
+                    self.chunks.append((msg['steps'], msg['secs']))
+                elif ev == 'done':
+                    self.done = True
+                    return
+                deadline = min(time.monotonic() + line_deadline,
+                               global_deadline)
+        finally:
+            try:
+                proc.kill()
+                proc.wait(timeout=5)
+            except Exception:
+                pass
+
+    def rate(self):
+        """Median pair-differenced GPts/s, or the naive cumulative rate
+        if fewer than 2 valid pairs completed. None if no chunks."""
+        if not self.chunks:
+            return None, 'no chunks completed'
+        vol = float(self.n) ** 3
+        ests = []
+        by_small = None
+        for steps, secs in self.chunks:
+            if by_small is None:
+                by_small = (steps, secs)
+                continue
+            s1, t1 = by_small
+            by_small = None
+            if steps == s1 or secs <= t1:
+                continue
+            ests.append((steps - s1) * vol / (secs - t1) / 1e9)
+        ests = [e for e in ests if np.isfinite(e) and e > 0]
+        if len(ests) >= 2:
+            return float(np.median(ests)), f'{len(ests)} pair estimates'
+        tot_steps = sum(s for s, _ in self.chunks)
+        tot_secs = sum(t for _, t in self.chunks)
+        return (tot_steps * vol / tot_secs / 1e9,
+                f'naive rate over {len(self.chunks)} chunks '
+                f'(incl. per-RPC overhead)')
+
+
+def main():
+    budget = float(os.environ.get('BENCH_TIMEOUT', 460))
+    global_deadline = time.monotonic() + budget
+    so = int(os.environ.get('BENCH_SO', 8))
+    forced = os.environ.get('BENCH_SIZE')
+    sizes = [int(forced)] if forced else [256, 192, 128]
+
+    best = None      # (n, rate, note, kind)
+    kind = None
+    for idx, n in enumerate(sizes):
+        remaining = global_deadline - time.monotonic()
+        if remaining < 45:
+            break
+        # leave room for smaller fallbacks after the first config
+        ready_deadline = remaining - 90 * (len(sizes) - idx - 1)
+        ready_deadline = max(60.0, min(ready_deadline, remaining - 10))
+        run = ChildRun(n, so)
+        print(f"[bench] trying n={n} (ready deadline "
+              f"{ready_deadline:.0f}s, {remaining:.0f}s left)",
+              file=sys.stderr, flush=True)
+        run.run(ready_deadline=ready_deadline, line_deadline=120.0,
+                global_deadline=global_deadline - 5)
+        kind = kind or run.kind
+        rate, note = run.rate()
+        if rate is not None:
+            best = (n, rate, note, run.kind or kind)
+            break  # largest grid that produced an estimate wins
+
+    target = 0.8 * roofline_gpts(kind or 'unknown', bytes_per_point=5 * 4)
+    if best is None:
+        print(json.dumps({
+            "metric": METRIC, "value": 0.0, "unit": "GPts/s",
+            "vs_baseline": 0.0,
+            "note": f"no config completed a chunk within {budget:.0f}s "
+                    f"budget (tried {sizes})"}), flush=True)
+        return
+    n, rate, note, kind = best
+    out = {
+        "metric": METRIC,
+        "value": round(float(rate), 3),
         "unit": "GPts/s",
-        "vs_baseline": round(float(gpts / target), 3),
-    }))
+        "vs_baseline": round(float(rate / target), 3),
+    }
+    extra = f"grid {n}^3, {note}"
+    if n != sizes[0]:
+        extra += f" (fallback from {sizes[0]}^3)"
+    out["note"] = extra
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == '__main__':
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == '--child':
+        child_main(int(sys.argv[2]), int(sys.argv[3]))
+    else:
+        main()
