@@ -1,22 +1,132 @@
 """Checkpoint/recompute for adjoint gradients.
 
 Reference parity: devito/checkpointing/checkpoint.py (DevitoCheckpoint:49,
-CheckpointOperator:7) + the pyrevolve Revolver. The TPU build implements a
-sqrt-segmented store/recompute schedule natively (no C++ backend): one
-forward pass stores ``n_checkpoints`` rolling-buffer snapshots; the reverse
-pass reloads the nearest snapshot and re-advances to each timestep before
-applying the reverse operator — memory O(sqrt(nt)) snapshots for ~2x
-forward recompute, the same asymptotics pyrevolve's Griewank-Walther
-schedule optimizes.
+CheckpointOperator:7) + the pyrevolve Revolver (C++-backed optimal
+Griewank-Walther schedules). The TPU build computes the *exact* optimal
+store/recompute schedule natively via dynamic programming over the
+binomial recurrence
+
+    t(n, c) = min_{1<=m<n} [ m + t(n-m, c-1) + t(m, c) ]
+
+where ``t(n, c)`` is the minimal number of forward step applications
+needed to reverse ``n`` steps given a stored snapshot at the segment
+start and ``c`` free checkpoint slots (base cases ``t(1, c) = 0`` and
+``t(n, 0) = n(n-1)/2``).  This is the Griewank-Walther optimum for this
+framework's reversal contract: the adjoint of step ``t`` requires the
+forward state advanced from a snapshot at ``a`` through step ``t-1``
+(``fwd.apply(a, t-1)``), and a reverse step at a snapshot position costs
+no forward work.  The recurrence is identical in shape to the classical
+binomial one (Griewank & Walther, ACM TOMS 26(1), 2000, Algorithm 799);
+the base cases differ only by the per-step "youturn" forward, which this
+framework does not need.
+
+Total work: ``nt`` forward steps during ``apply_forward`` (snapshots are
+stored on the fly along the first sweep, no recomputation) plus
+``t(nt, slots-1) - (nt - 1)`` recomputed steps during ``apply_reverse``.
+Peak memory: ``n_checkpoints`` snapshots.
 """
 
 import math
 
 import numpy as np
 
+from .logger import warning
 from .utils import as_tuple
 
-__all__ = ['CheckpointOperator', 'DevitoCheckpoint', 'Revolver']
+__all__ = ['CheckpointOperator', 'DevitoCheckpoint', 'Revolver',
+           'optimal_forward_count', 'revolve_plan']
+
+# DP tables are O(nt * slots) ints with an O(nt^2 * slots) build; cap the
+# exact planner and fall back to equal segments beyond it
+_EXACT_PLANNER_CAP = 16384
+
+_plan_cache = {}
+
+
+def _dp_tables(nt, slots):
+    """Cost and argmin-split tables for the binomial recurrence.
+
+    Returns (cost, split): ``cost[c][n]`` = minimal forward applications
+    to reverse ``n`` steps with ``c`` free slots; ``split[c][n]`` = an
+    optimal first-checkpoint offset ``m`` (0 where no split applies).
+    """
+    slots = max(0, min(int(slots), int(nt)))
+    n = int(nt)
+    ms = np.arange(n + 1, dtype=np.int64)
+    cost = [ms * (ms - 1) // 2]                     # c = 0
+    split = [np.zeros(n + 1, dtype=np.int64)]
+    for c in range(1, slots + 1):
+        prev = cost[c - 1]
+        cur = np.zeros(n + 1, dtype=np.int64)
+        sp = np.zeros(n + 1, dtype=np.int64)
+        for k in range(2, n + 1):
+            # vals[m-1] = m + prev[k-m] + cur[m],  m = 1..k-1
+            vals = ms[1:k] + prev[k - 1:0:-1] + cur[1:k]
+            i = int(np.argmin(vals))
+            cur[k] = vals[i]
+            sp[k] = i + 1
+        cost.append(cur)
+        split.append(sp)
+    return cost, split
+
+
+def optimal_forward_count(nt, slots):
+    """Minimal forward applications to reverse ``nt`` steps with
+    ``slots`` free checkpoint slots (snapshot at the start held outside
+    the slots), per the binomial recurrence above."""
+    nt = int(nt)
+    if nt <= 1:
+        return 0
+    slots = max(0, min(int(slots), nt))
+    if slots == 0:
+        return nt * (nt - 1) // 2
+    cost, _ = _dp_tables(nt, slots)
+    return int(cost[slots][nt])
+
+
+def revolve_plan(nt, slots, t_min=0):
+    """Action list reversing steps ``t_min+nt-1 .. t_min``.
+
+    Actions: ('store', t) snapshot current state; ('load', t) restore the
+    snapshot at t (no-op if the state is already there); ('advance', a, b)
+    = fwd.apply(a, b); ('reverse', t) = rev.apply(t, t), requiring the
+    forward state at ``t``; ('free', t) drop the snapshot at t.
+    """
+    key = (int(nt), int(slots), int(t_min))
+    hit = _plan_cache.get(key)
+    if hit is not None:
+        return hit
+    nt = int(nt)
+    slots = max(0, min(int(slots), nt))
+    _, split = _dp_tables(nt, slots)
+    actions = [('store', int(t_min))]
+
+    def plan(a, b, c):
+        n = b - a
+        if n <= 0:
+            return
+        if n == 1:
+            actions.append(('load', a))
+            actions.append(('reverse', a))
+            return
+        if c == 0:
+            for t in range(b - 1, a - 1, -1):
+                actions.append(('load', a))
+                if t - 1 >= a:
+                    actions.append(('advance', a, t - 1))
+                actions.append(('reverse', t))
+            return
+        m = a + int(split[c][n])
+        actions.append(('load', a))
+        actions.append(('advance', a, m - 1))
+        actions.append(('store', m))
+        plan(m, b, c - 1)
+        actions.append(('free', m))
+        plan(a, m, c)
+
+    plan(int(t_min), int(t_min) + nt, slots)
+    _plan_cache[key] = actions
+    return actions
 
 
 class CheckpointOperator:
@@ -56,11 +166,18 @@ class DevitoCheckpoint:
 
 
 class Revolver:
-    """Segmented store/recompute driver.
+    """Optimal store/recompute driver (pyrevolve Revolver analog).
 
     ``Revolver(checkpoint, wrap_fw, wrap_rev, n_checkpoints, nt)`` —
     ``wrap_fw``/``wrap_rev`` are CheckpointOperators for the forward and
     reverse (gradient) operators; ``nt`` is the number of forward steps.
+    ``apply_forward`` runs the full forward once, storing snapshots along
+    the way at the schedule's first-sweep positions; ``apply_reverse``
+    replays the remaining plan, recomputing the Griewank-Walther-optimal
+    ``optimal_forward_count(nt, n_checkpoints-1) - (nt-1)`` steps.
+
+    Counters ``forward_steps``/``reverse_recompute_steps`` expose the
+    executed forward-application totals for verification.
     """
 
     def __init__(self, checkpoint, wrap_fw, wrap_rev, n_checkpoints, nt,
@@ -73,27 +190,97 @@ class Revolver:
         if not n_checkpoints:
             n_checkpoints = max(1, int(math.sqrt(self.nt)))
         self.n_checkpoints = int(n_checkpoints)
-        # checkpoint positions (time indices at segment starts)
-        nseg = self.n_checkpoints
-        bounds = np.linspace(self.t_min, self.t_min + self.nt,
-                             nseg + 1).astype(int)
-        self._segments = [(int(a), int(b)) for a, b in
-                          zip(bounds[:-1], bounds[1:]) if b > a]
+        self.forward_steps = 0
+        self.reverse_recompute_steps = 0
         self._stored = {}
+        self._state_at = None     # time index of the live forward state
+        if self.nt > _EXACT_PLANNER_CAP:
+            warning(f"Revolver: nt={self.nt} exceeds the exact-planner "
+                    f"cap ({_EXACT_PLANNER_CAP}); using equal segments "
+                    f"at the top level, exact plans within (near-optimal)")
+            # few enough segments that within-segment reversal still has
+            # free slots, short enough that the exact planner applies
+            nseg = min(self.n_checkpoints,
+                       max(1, self.n_checkpoints // 2,
+                           -(-self.nt // _EXACT_PLANNER_CAP)))
+            bounds = np.linspace(self.t_min, self.t_min + self.nt,
+                                 nseg + 1).astype(int)
+            self._segments = [(int(a), int(b)) for a, b in
+                              zip(bounds[:-1], bounds[1:]) if b > a]
+            self._exact = False
+        else:
+            self._plan = revolve_plan(self.nt, self.n_checkpoints - 1,
+                                      self.t_min)
+            self._exact = True
+
+    # -- plan execution helpers
+
+    def _advance(self, a, b, recompute=False):
+        self.fwd.apply(a, b)
+        nsteps = b - a + 1
+        self.forward_steps += nsteps
+        if recompute:
+            self.reverse_recompute_steps += nsteps
+        self._state_at = b + 1
+
+    def _exec(self, action, recompute):
+        kind = action[0]
+        if kind == 'store':
+            self._stored[action[1]] = self.cp.save()
+        elif kind == 'load':
+            if self._state_at != action[1]:
+                self.cp.load(self._stored[action[1]])
+                self._state_at = action[1]
+        elif kind == 'advance':
+            self._advance(action[1], action[2], recompute)
+        elif kind == 'reverse':
+            self.rev.apply(action[1], action[1])
+        elif kind == 'free':
+            self._stored.pop(action[1], None)
+
+    def _split_index(self):
+        """Plan index of the first 'reverse' action: everything before it
+        is the initial forward sweep (contiguous advances + stores)."""
+        for i, a in enumerate(self._plan):
+            if a[0] == 'reverse':
+                return i
+        return len(self._plan)
 
     def apply_forward(self):
-        """Forward sweep, storing a snapshot at each segment start."""
-        for (a, b) in self._segments:
-            self._stored[a] = self.cp.save()
-            self.fwd.apply(a, b - 1)
+        """Full forward sweep (``nt`` steps), storing the first-sweep
+        snapshots of the optimal schedule on the fly."""
+        if not self._exact:
+            for (a, b) in self._segments:
+                self._stored[a] = self.cp.save()
+                self._advance(a, b - 1)
+            return
+        i = self._split_index()
+        for action in self._plan[:i]:
+            self._exec(action, recompute=False)
+        # the plan's forward prefix ends at state nt-1 (the reverse pass
+        # only ever needs states up to there); run the final step so the
+        # forward outputs (receivers, final state) are complete
+        last = self.t_min + self.nt - 1
+        if self._state_at is None or self._state_at <= last:
+            self._advance(self._state_at or self.t_min, last)
 
     def apply_reverse(self):
-        """Reverse sweep: per segment (last to first), reload the snapshot
-        and re-advance to each timestep before the reverse step."""
-        for (a, b) in reversed(self._segments):
-            for t in range(b - 1, a - 1, -1):
-                self.cp.load(self._stored[a])
-                if t - 1 >= a:
-                    self.fwd.apply(a, t - 1)
-                self.rev.apply(t, t)
+        """Reverse sweep: replay the plan's remaining actions."""
+        if not self._exact:
+            for (a, b) in reversed(self._segments):
+                # exact sub-plan per segment with all remaining slots free
+                free = self.n_checkpoints - len(self._stored)
+                sub = revolve_plan(b - a, free, a)[1:]  # skip 'store'
+                self._state_at = None
+                for action in sub:
+                    self._exec(action, recompute=True)
+                self._stored.pop(a, None)
+            self._stored.clear()
+            return
+        i = self._split_index()
+        # the forward sweep left the state at nt (one past the plan
+        # prefix); invalidate so the first 'load' restores correctly
+        self._state_at = None
+        for action in self._plan[i:]:
+            self._exec(action, recompute=True)
         self._stored.clear()
