@@ -10,14 +10,24 @@ HBM-bandwidth roofline for this stencil).
 
 Resilience architecture (the remote-TPU tunnel can degrade to hundreds of
 seconds per RPC, which zeroed round 1's number): the measurement runs in a
-child process that emits one JSON line per timed chunk; the parent
-enforces per-line deadlines and a global budget, kills a wedged child, and
-falls back to smaller grids. Chunks come in (small, large) step-count
-pairs so the steady-state rate is estimated from the *difference*
-(K2-K1)*N^3/(t2-t1), cancelling the fixed per-RPC tunnel overhead. The
-final value is the median pair estimate of the largest grid that produced
-any; a mid-run stall therefore still yields a valid measured rate instead
-of 0.0.
+child process that emits one JSON line per timed event; the parent
+enforces per-line deadlines (each event can extend the next deadline),
+kills a wedged child, and falls back to smaller grids.
+
+Two measurement modes, tried in order:
+1. *Device-side trace*: run K steps under ``jax.profiler.trace`` and read
+   the per-step period straight from the device timeline (median gap
+   between successive firings of the per-step XLA ops). This matches the
+   reference's section-time methodology (FAQ.md:826 — kernel time, not
+   Python setup) and is immune to tunnel latency: probes show the
+   degraded tunnel acks dispatch instantly but takes 100-200 s per
+   device->host fetch, while ``block_until_ready``/``is_ready`` do NOT
+   wait through the tunnel, so wall-clock timing needs one fetch per
+   sample and drowns in fetch-latency noise.
+2. *Wall-clock pairs* (healthy tunnel only, fetch < 5 s): chunks in
+   (small, large) step-count pairs; steady-state rate from the difference
+   (K2-K1)*N^3/(t2-t1), cancelling fixed per-RPC overhead. End-to-end
+   corroboration of the trace number.
 """
 
 import json
@@ -49,6 +59,54 @@ def roofline_gpts(device_kind, bytes_per_point):
 
 
 # ---------------------------------------------------------------- child
+
+def parse_trace_period(trace_dir, nsteps):
+    """Per-step device time (seconds) from a jax.profiler trace dir.
+
+    Finds the device-side 'XLA Ops' track, groups complete events by op
+    name, and for the names that fired ~nsteps times takes the median gap
+    between successive firings — the steady-state step period, measured
+    with device timestamps."""
+    import glob
+    import gzip
+
+    paths = sorted(glob.glob(os.path.join(
+        trace_dir, 'plugins', 'profile', '*', '*.trace.json.gz')))
+    if not paths:
+        return None
+    with gzip.open(paths[-1], 'rt') as f:
+        data = json.load(f)
+    evs = data.get('traceEvents', [])
+    dev_pids = set()
+    ops_tids = {}
+    for e in evs:
+        if e.get('ph') == 'M' and e.get('name') == 'process_name' and \
+                '/device:' in str(e.get('args', {}).get('name', '')):
+            dev_pids.add(e.get('pid'))
+        if e.get('ph') == 'M' and e.get('name') == 'thread_name' and \
+                e.get('args', {}).get('name') == 'XLA Ops':
+            ops_tids[e.get('pid')] = e.get('tid')
+    by_name = {}
+    for e in evs:
+        if e.get('ph') != 'X' or e.get('pid') not in dev_pids:
+            continue
+        if ops_tids.get(e.get('pid')) not in (None, e.get('tid')):
+            continue
+        by_name.setdefault(e.get('name'), []).append(float(e['ts']))
+    periods = []
+    for name, ts in by_name.items():
+        # per-step ops fire once per loop iteration
+        if not (0.7 * nsteps <= len(ts) <= 1.3 * nsteps + 2):
+            continue
+        ts = sorted(ts)
+        gaps = np.diff(ts)
+        if len(gaps) >= 8:
+            periods.append(float(np.median(gaps)))
+    if not periods:
+        return None
+    # several per-step ops all measure the same period; use their median
+    return float(np.median(periods)) * 1e-6
+
 
 def child_main(n, so):
     """Run the measurement, one JSON line per event on stdout."""
@@ -88,23 +146,62 @@ def child_main(n, so):
         from devito_tpu.compiler import pallas_backend as pb
         pb.set_tile_override(tuple(int(v) for v in tiles.split(',')))
 
-    # warmup: jit compile + 2 steps; optional tile autotuning
+    # warmup: jit compile + 2 steps, dispatch only (no sync: through a
+    # degraded tunnel a single fetch costs 100-200 s; the trace phase's
+    # one fetch below syncs the warmup too)
     at = os.environ.get('BENCH_AUTOTUNE')
     t0 = time.perf_counter()
     op.apply(time_m=0, time_M=1, dt=dt, autotune=at if at else None)
-    sync()
-    emit(event='ready', warmup_secs=round(time.perf_counter() - t0, 3))
+    emit(event='ready', warmup_secs=round(time.perf_counter() - t0, 3),
+         ndl=400)
 
+    # phase 1: device-side trace measurement (one fetch total)
+    import shutil
+    import tempfile
+    ktrace = int(os.environ.get('BENCH_KTRACE', 64))
+    trace_rate = None
+    fetch_secs = None
+    if not os.environ.get('BENCH_NO_TRACE'):
+        import jax.profiler
+        tdir = tempfile.mkdtemp(prefix='bench_trace_')
+        try:
+            with jax.profiler.trace(tdir):
+                op.apply(time_m=0, time_M=ktrace - 1, dt=dt)
+                t0 = time.perf_counter()
+                sync()
+                fetch_secs = time.perf_counter() - t0
+            period = parse_trace_period(tdir, ktrace)
+            if period and period > 0:
+                trace_rate = float(n) ** 3 / period / 1e9
+                emit(event='trace', gpts=trace_rate,
+                     ms_per_step=period * 1e3,
+                     fetch_secs=round(fetch_secs, 2), ndl=400)
+            else:
+                emit(event='trace_failed',
+                     fetch_secs=round(fetch_secs or 0, 2), ndl=400)
+        except Exception as exc:  # pragma: no cover - tunnel flakiness
+            emit(event='trace_failed', error=str(exc)[:200], ndl=400)
+        finally:
+            shutil.rmtree(tdir, ignore_errors=True)
+
+    # phase 2: wall-clock pair chunks — end-to-end corroboration; only
+    # worth the fetches when the tunnel is healthy (or the trace failed)
+    degraded = fetch_secs is not None and fetch_secs > 5.0
+    if degraded and trace_rate is not None:
+        emit(event='done')
+        return
     k1 = int(os.environ.get('BENCH_K1', 64))
     k2 = int(os.environ.get('BENCH_K2', 320))
     pairs = int(os.environ.get('BENCH_PAIRS', 10))
+    if degraded:
+        pairs = min(pairs, 2)  # each chunk costs a 100-200 s fetch
     for i in range(pairs):
         for k in (k1, k2):
             t0 = time.perf_counter()
             op.apply(time_m=0, time_M=k - 1, dt=dt)
             sync()
             emit(event='chunk', i=i, steps=k,
-                 secs=time.perf_counter() - t0)
+                 secs=time.perf_counter() - t0, ndl=400 if degraded else None)
     emit(event='done')
 
 
@@ -119,6 +216,9 @@ class ChildRun:
         self.so = so
         self.kind = None
         self.chunks = []          # (steps, secs)
+        self.trace_rate = None    # device-side GPts/s from the profiler
+        self.trace_ms = None
+        self.fetch_secs = None
         self.done = False
 
     def run(self, ready_deadline, line_deadline, global_deadline):
@@ -158,12 +258,29 @@ class ChildRun:
                     print(f"[bench] n={self.n} ready "
                           f"(warmup {msg.get('warmup_secs')}s)",
                           file=sys.stderr, flush=True)
+                elif ev == 'trace':
+                    self.trace_rate = msg.get('gpts')
+                    self.trace_ms = msg.get('ms_per_step')
+                    self.fetch_secs = msg.get('fetch_secs')
+                    print(f"[bench] n={self.n} trace: "
+                          f"{self.trace_ms:.3f} ms/step "
+                          f"({self.trace_rate:.2f} GPts/s), "
+                          f"fetch {self.fetch_secs}s",
+                          file=sys.stderr, flush=True)
+                elif ev == 'trace_failed':
+                    self.fetch_secs = msg.get('fetch_secs')
+                    print(f"[bench] n={self.n} trace failed: "
+                          f"{msg.get('error', '')}",
+                          file=sys.stderr, flush=True)
                 elif ev == 'chunk':
                     self.chunks.append((msg['steps'], msg['secs']))
                 elif ev == 'done':
                     self.done = True
                     return
-                deadline = min(time.monotonic() + line_deadline,
+                # events can extend the next deadline (e.g. before a
+                # phase whose one fetch may take 100-200 s degraded)
+                ndl = msg.get('ndl') or line_deadline
+                deadline = min(time.monotonic() + float(ndl),
                                global_deadline)
         finally:
             try:
@@ -173,6 +290,36 @@ class ChildRun:
                 pass
 
     def rate(self):
+        """Preferred estimate: the device-side trace rate (the analog of
+        the reference's per-section kernel time, FAQ.md:826), corroborated
+        by the wall-clock pair estimate when the tunnel allowed one.
+        Falls back to wall-clock pairs, then the naive cumulative rate."""
+        if self.trace_rate is not None:
+            note = (f'device-side {self.trace_ms:.3f} ms/step via '
+                    f'profiler trace')
+            wall, _ = self._wall_rate()
+            if wall is not None:
+                note += f'; wall-clock pair estimate {wall:.2f} GPts/s'
+            elif self.fetch_secs and self.fetch_secs > 5:
+                note += (f'; tunnel degraded (fetch {self.fetch_secs}s), '
+                         f'no wall-clock corroboration')
+            return float(self.trace_rate), note
+        return self._wall_rate()
+
+    def _wall_naive_or_none(self, rate, note, roof):
+        """Demote an implausible (> roofline) estimate to the naive
+        cumulative rate, or drop it."""
+        if not self.chunks:
+            return None, note
+        vol = float(self.n) ** 3
+        tot_steps = sum(s for s, _ in self.chunks)
+        tot_secs = sum(t for _, t in self.chunks)
+        naive = tot_steps * vol / tot_secs / 1e9
+        return naive, (f'estimate {rate:.1f} GPts/s exceeded roofline '
+                       f'{roof:.1f} (tunnel noise); naive rate over '
+                       f'{len(self.chunks)} chunks incl. RPC overhead')
+
+    def _wall_rate(self):
         """Median pair-differenced GPts/s, or the naive cumulative rate
         if fewer than 2 valid pairs completed. None if no chunks."""
         if not self.chunks:
@@ -224,6 +371,13 @@ def main():
         kind = kind or run.kind
         rate, note = run.rate()
         if rate is not None:
+            # pair-differencing on a noisy tunnel can produce implausible
+            # estimates; anything past the hardware roofline is noise
+            roof = roofline_gpts(run.kind or kind or 'unknown', 5 * 4)
+            if rate > 1.2 * roof:
+                rate, note = run._wall_naive_or_none(rate, note, roof)
+                if rate is None:
+                    continue
             best = (n, rate, note, run.kind or kind)
             break  # largest grid that produced an estimate wins
 
