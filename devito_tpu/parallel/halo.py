@@ -2,8 +2,10 @@
 
 Reference parity: devito/mpi/halo_scheme.py (HaloScheme.classify:571 — which
 function/dimension/side needs exchange) + devito/mpi/routines.py (the six
-generated MPI exchange schemes).  The TPU-native design replaces generated
-MPI code with a `shard_map`-wrapped time loop over the device mesh:
+generated MPI exchange schemes, incl. the comm/compute-overlap
+``overlap2`` scheme routines.py:778).  The TPU-native design replaces
+generated MPI code with a `shard_map`-wrapped time loop over the device
+mesh:
 
 - every grid buffer enters as its *interior* (domain-only) view, sharded
   over the mesh axes; inside the shard each buffer is re-padded to the
@@ -12,12 +14,24 @@ MPI code with a `shard_map`-wrapped time loop over the device mesh:
   from sequential axis exchanges, exactly like the reference's
   diagonal-free schemes) — no all-gathers, ever: a test asserts the
   compiled HLO contains none;
+- a dataflow *halo plan* (`plan_halos`) decides WHEN each row's halo is
+  refreshed: same-step producer→consumer chains (CIRE temporaries, 2-eq
+  stepping chains) are resolved by *ghost zones* — the producer's write
+  region is extended into its allocated halo and the upstream step-top
+  margins widened accordingly, so every exchange hoists to the top of
+  the step (one ppermute batch, overlappable).  Chains the ghost-zone
+  budget cannot cover get synchronous mid-step refresh markers instead;
+- comm/compute overlap (reference overlap2): the step's dense updates
+  are split into interior regions (which never read a halo) and
+  boundary frames; the ppermute batch rides between them with no data
+  dependence on the interior fusions, so XLA's async collective
+  scheduler runs the exchange concurrently with the interior compute;
 - sparse injection/interpolation localizes corner indices per shard and
   masks foreign contributions; interpolation partial sums are `psum`-ed.
 
 The GSPMD path (operator._maybe_shard) remains the fallback for schedules
-this path cannot prove safe (sub-domain writes, conditionals, dirty user
-halos, non-divisible shards).
+this path cannot prove safe (sub-domain writes, space-dependent
+conditionals, dirty user halos, non-divisible shards).
 """
 
 from functools import partial
@@ -29,7 +43,8 @@ from ..types.basic import retrieve_functions
 from ..ir.lowering import space_offsets_of
 from ..logger import warning, perf as log_perf
 
-__all__ = ['halo_scheme', 'explicit_halo_eligible', 'ShardedRunner']
+__all__ = ['halo_scheme', 'plan_halos', 'explicit_halo_eligible',
+           'ShardedRunner', 'LoweredExchange']
 
 
 def halo_scheme(schedule):
@@ -63,6 +78,223 @@ def halo_scheme(schedule):
         else:
             scan_expr(it.expr)
     return needs
+
+
+def _canon_row(fn, tk, toff):
+    """Canonical row key: stepping offsets alias modulo the slot count."""
+    if tk == 'stepping':
+        toff = int(toff) % fn._time_size
+    return (fn.name, tk, toff)
+
+
+def item_reads(item):
+    """All grid-function row reads of a schedule item with their per-axis
+    tap margins: {rowkey: [margin per grid axis]} (zero-margin reads
+    included — taint propagation needs them)."""
+    out = {}
+
+    def scan(expr, extra=0):
+        for a in retrieve_functions(expr):
+            fn = a.function
+            if fn.is_SparseFunction or fn.grid is None:
+                continue
+            offs = space_offsets_of(a, absolute='zero')
+            tk, toff = time_access_of(a)
+            key = _canon_row(fn, tk, toff)
+            cur = out.setdefault(key, [0] * len(offs))
+            for j, o in enumerate(offs):
+                cur[j] = max(cur[j], abs(o) + extra)
+
+    if isinstance(item, LoweredEq):
+        scan(item.rhs)
+        if item.condition is not None:
+            scan(item.condition)
+        if item.increment or item.reduction:
+            # read-modify-write of the target's current content
+            fn = item.target
+            key = _canon_row(fn, item.time_kind, item.time_off or 0)
+            out.setdefault(key, [0] * len(fn.space_dimensions))
+    elif isinstance(item, LoweredSparse):
+        # corner gathers read at clipped in-domain indices plus any
+        # symbolic offsets of the sampled expression; an offset read of
+        # a point owned right at the shard edge lands in the halo
+        scan(item.expr)
+    return out
+
+
+def item_writes(item):
+    """Row keys written by a schedule item (dense targets and sparse
+    injection fields)."""
+    if isinstance(item, LoweredEq):
+        fn = item.target
+        if fn.grid is None or fn.is_SparseFunction:
+            return []
+        return [_canon_row(fn, item.time_kind, item.time_off or 0)]
+    if isinstance(item, LoweredSparse) and item.kind == 'inject':
+        fn = item.field
+        return [_canon_row(fn, item.field_time_kind,
+                           item.field_time_off or 0)]
+    return []
+
+
+class HaloPlan:
+    """WHERE and HOW each halo gets refreshed on the explicit path.
+
+    - ``static``: {rowkey: margins} — rows whose content never changes
+      before their reads (params, read-only save buffers): halos filled
+      once at shard-entry pad time.
+    - ``after_prologue``: {rowkey: margins} — rows written in the
+      prologue and tap-read later: one ppermute batch before the loop.
+    - ``top``: {rowkey: margins} — per-step batch at the top of the
+      step (carry rows, plus pre-write refreshes of increment targets
+      with ghost-zone extensions).
+    - ``ext``: {id(body eq): [e per axis]} — ghost zones: the eq's write
+      region is extended ``e`` into its allocated halo so same-step
+      consumers read locally-computed values (deep-halo scheme; the
+      upstream margins in ``top`` are widened by the backward dataflow).
+    - ``mid``: {body index: {rowkey: margins}} — synchronous refresh
+      markers before specific body items, for chains the ghost-zone
+      budget cannot cover.
+    - ``epi``: {rowkey: margins} — one batch before the epilogue.
+    - ``overlap_ok``: every per-step exchange sits in the top batch, so
+      the interior/frame overlap split applies.
+    """
+
+    def __init__(self):
+        self.static = {}
+        self.after_prologue = {}
+        self.top = {}
+        self.ext = {}
+        self.mid = {}
+        self.epi = {}
+        self.overlap_ok = True
+        self.notes = []
+
+    def _bump(self, table, key, margins):
+        cur = table.setdefault(key, [0] * len(margins))
+        for j, m in enumerate(margins):
+            cur[j] = max(cur[j], m)
+
+
+def plan_halos(schedule, reads):
+    """Dataflow pass assigning every halo-needing read a refresh point.
+
+    ``reads``: {name: fn} for every function in the operator.  Returns a
+    HaloPlan, or None when the schedule cannot be planned (a row written
+    more than once per step and tap-read — ambiguous single-pass
+    dataflow; the GSPMD fallback handles it)."""
+    body = schedule.body
+    plan = HaloPlan()
+
+    written_body = {}
+    for i, it in enumerate(body):
+        for w in item_writes(it):
+            written_body.setdefault(w, []).append(i)
+    written_pro = set()
+    for it in schedule.prologue:
+        written_pro.update(item_writes(it))
+
+    # --- backward pass over the body: ghost-zone extensions ---------------
+    need = {}          # row -> margins required valid at read time
+    sync_rows = set()  # rows needing synchronous mid-step refresh
+    for i in reversed(range(len(body))):
+        it = body[i]
+        bump = None
+        for w in item_writes(it):
+            e = need.pop(w, None)
+            if e is None or not any(e):
+                continue
+            fn = (it.target if isinstance(it, LoweredEq) else it.field)
+            cap = [min(hl, hr) for (hl, hr) in fn.halo]
+            ok = (isinstance(it, LoweredEq)
+                  and len(written_body.get(w, ())) == 1
+                  and all(ej <= cj for ej, cj in zip(e, cap)))
+            if ok:
+                sshape = (fn.shape[1:] if fn.is_TimeFunction
+                          else fn.shape)
+                ok = tuple(it.region) == tuple((0, n) for n in sshape)
+            if ok:
+                plan.ext[id(it)] = list(e)
+                if (it.increment or it.reduction is not None
+                        or it.condition is not None):
+                    # the extended region's pre-update content must be
+                    # fresh before the read-modify-write
+                    plan._bump(plan.top, w, e)
+                bump = list(e)
+            else:
+                sync_rows.add(w)
+                plan.overlap_ok = False
+        if isinstance(it, LoweredEq) or isinstance(it, LoweredSparse):
+            for r, m in item_reads(it).items():
+                mm = ([x + b for x, b in zip(m, bump)] if bump else m)
+                plan._bump(need, r, mm)
+
+    # rows never written in the body: where does their content come from?
+    for r, m in need.items():
+        if r in written_body:
+            continue  # resolved above (ghost/sync)
+        if not any(m):
+            continue
+        if r in written_pro:
+            plan._bump(plan.after_prologue, r, m)
+        elif r[1] in ('save', 'cond') or r[1] is None:
+            plan._bump(plan.static, r, m)
+        else:
+            plan._bump(plan.top, r, m)
+    # carry rows written in the body and read with taps at the NEXT step
+    # (their need was popped by the backward pass only for same-step
+    # chains): a forward walk catches reads occurring before the write
+    pending = set(written_body)
+    for it in body:
+        for r, m in item_reads(it).items():
+            if r in pending and any(m):
+                plan._bump(plan.top, r, m)
+                pending.discard(r)
+        for w in item_writes(it):
+            pending.discard(w)
+
+    # --- forward pass: mid-step markers for sync rows ---------------------
+    if sync_rows:
+        stale = set(sync_rows)
+        for i, it in enumerate(body):
+            for r, m in item_reads(it).items():
+                if r in stale and any(m):
+                    plan._bump(plan.mid.setdefault(i, {}), r, m)
+                    stale.discard(r)
+            for w in item_writes(it):
+                if w in sync_rows:
+                    stale.add(w)
+
+    # --- epilogue: refresh rows changed during the run --------------------
+    changed = set(written_body) | written_pro
+    for it in schedule.epilogue:
+        for r, m in item_reads(it).items():
+            if not any(m):
+                continue
+            if r in changed:
+                plan._bump(plan.epi, r, m)
+            else:
+                plan._bump(plan.static, r, m)
+        changed.update(item_writes(it))
+
+    # prologue-internal chains: a prologue item tap-reading a row written
+    # by an earlier prologue item — rare; refresh inline is not yet
+    # supported, signal no-plan
+    seen = set()
+    for it in schedule.prologue:
+        for r, m in item_reads(it).items():
+            if any(m) and r in seen:
+                return None
+            if any(m) and r not in seen and r not in plan.static:
+                plan._bump(plan.static, r, m)
+        seen.update(item_writes(it))
+
+    # double-written tap-read rows are ambiguous for the single-pass
+    # dataflow — bail to GSPMD
+    for r in sync_rows:
+        if len(written_body.get(r, ())) > 1:
+            return None
+    return plan
 
 
 def explicit_halo_eligible(op):
