@@ -500,6 +500,10 @@ def build_runner(schedule, write_names, stepping_info=None, errctl=None,
             elif isinstance(it, LoweredSparse):
                 bufs = _exec_sparse(it, bufs, params, t, geom_cache,
                                     direction, shard_spec)
+            elif getattr(it, 'kind', None) == 'halo':
+                # halo marker (parallel/halo.py): exchange start/finish/
+                # sync scheduled like any other item
+                bufs = it.run(bufs, params, t)
             else:
                 raise CompilationError(f"Cannot execute {it}")
         return bufs
@@ -580,6 +584,17 @@ def build_runner(schedule, write_names, stepping_info=None, errctl=None,
                         bad = jnp.bool_(False)
                         for nm in errctl:
                             bad |= ~jnp.isfinite(jnp.sum(out[nm][0]))
+                        if shard_spec:
+                            # shards must agree on the halt decision (a
+                            # diverging lax.cond would desync the
+                            # ppermute chains); reference analog:
+                            # rank-local error -> comm.Abort
+                            # (operator.py:743)
+                            axes = tuple(a for (a, n, l)
+                                         in shard_spec.values() if n > 1)
+                            if axes:
+                                bad = jax.lax.psum(
+                                    bad.astype(jnp.int32), axes) > 0
                         do_check = jnp.mod(t, 100) == 0
                         out['__err__'] = jnp.where(do_check, bad, False)
                         return out

@@ -187,7 +187,11 @@ class DenseCtx(BaseCtx):
         import jax.numpy as jnp
         if isinstance(sym, Dimension):
             # A bare dimension in an expression -> coordinate index array
-            # broadcast along its axis over the region.
+            # broadcast along its axis over the region.  Inside shard_map
+            # the ShardedRunner injects `__shard_off_<dim>__` (this
+            # shard's global offset) into params so coordinates stay
+            # GLOBAL — subdomain masks and x-dependent expressions then
+            # translate identically on every shard.
             name = sym.root.name if sym.is_Derived else sym.name
             if sym.is_Time or name not in self.region:
                 if sym.is_Time:
@@ -198,8 +202,11 @@ class DenseCtx(BaseCtx):
             start, length = self.region[name]
             shape = [1] * len(dims)
             shape[j] = length
-            return (jnp.arange(start, start + length)
-                    .reshape(shape))
+            iota = jnp.arange(start, start + length).reshape(shape)
+            off = self.params.get(f'__shard_off_{name}__')
+            if off is not None:
+                iota = iota + off
+            return iota
         return super().symbol(sym)
 
     def access(self, e):

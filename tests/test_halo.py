@@ -148,9 +148,10 @@ def test_edge_padded_params_on_shards():
     assert np.abs(got - ref).max() < 1e-5
 
 
-def test_fallback_on_subdomain_writes():
-    """Sub-domain (BC) equations are not eligible: GSPMD fallback, still
-    correct."""
+def test_subdomain_writes_on_explicit_path():
+    """Sub-domain (BC) equations run on the explicit path via
+    global-coordinate masks (reference: SubDomain is the MPI-safe BC
+    idiom, operator.py:119-123; round-1 forced these onto GSPMD)."""
     if len(jax.devices()) < 4:
         pytest.skip("not enough devices")
     shape = (16, 16)
@@ -166,7 +167,7 @@ def test_fallback_on_subdomain_writes():
 
     ref, _ = run(_mkgrid(shape))
     got, op = run(_mkgrid(shape, (2, 2)))
-    assert op._halo_runner is None  # ineligible -> GSPMD
+    assert op._halo_runner is not None
     assert np.abs(got - ref).max() < 1e-6
 
 
@@ -184,6 +185,150 @@ def test_backward_direction_sharded():
         op = Operator(Eq(v.backward, st), subs=grid.spacing_map)
         op.apply(time_m=1, time_M=6, dt=0.04)
         return np.array(v.data), op
+
+    ref, _ = run(_mkgrid(shape))
+    got, op = run(_mkgrid(shape, (2, 2)))
+    assert op._halo_runner is not None
+    assert np.abs(got - ref).max() < 1e-6
+
+
+# ---------------------------------------------------------------- round 2:
+# halo plan, overlap scheme, widened eligibility (VERDICT item 4)
+
+from devito_tpu.parallel.halo import (ExchangeStart, ExchangeFinish,
+                                      ExchangeSync)
+from devito_tpu.ir.lowering import LoweredEq
+
+
+def test_overlap_schedule_structure():
+    """The sharded body is [ExchangeStart, interior updates,
+    ExchangeFinish, boundary frames]: the ppermute batch has no data
+    dependence on the interior fusions, so XLA schedules it
+    asynchronously alongside them (reference overlap2 scheme,
+    mpi/routines.py:778)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    grid = _mkgrid((32, 32), (2, 2))
+    u = TimeFunction(name='u', grid=grid, time_order=2, space_order=4)
+    vp = Function(name='vp', grid=grid)
+    vp.data[:] = 1.5
+    st = solve((1 / (vp * vp)) * u.dt2 - u.laplace, u.forward)
+    op = Operator(Eq(u.forward, st), subs=grid.spacing_map)
+    hr = op._halo_runner_for()
+    assert hr is not None
+    body = hr.local_schedule.body
+    assert isinstance(body[0], ExchangeStart)
+    assert isinstance(body[1], LoweredEq)
+    # interior shrunk by the SO=4 read margin (2) on both partitioned axes
+    assert body[1].region == ((2, 14), (2, 14))
+    assert isinstance(body[2], ExchangeFinish)
+    frames = body[3:]
+    assert len(frames) == 4 and all(isinstance(f, LoweredEq)
+                                    for f in frames)
+    # the onion decomposition covers region \ interior exactly once
+    cells = set()
+    for f in frames:
+        (xa, xb), (ya, yb) = f.region
+        for i in range(xa, xb):
+            for j in range(ya, yb):
+                assert (i, j) not in cells
+                cells.add((i, j))
+    assert len(cells) == 16 * 16 - 12 * 12
+
+
+def test_ghost_zone_chain_matches_serial():
+    """Same-step producer->consumer chains are resolved by ghost-zone
+    write extension (producer computes into its halo), so the whole
+    exchange still hoists to one top-of-step batch."""
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    shape = (32, 32)
+
+    def run(grid):
+        u = TimeFunction(name='u', grid=grid, time_order=2, space_order=4)
+        tmp = Function(name='tmp', grid=grid, space_order=4)
+        u.data[0, 16, 16] = 1.0
+        op = Operator([Eq(tmp, u.dx), Eq(u.forward, 0.5 * u + 0.1 * tmp.dx)],
+                      subs=grid.spacing_map)
+        op.apply(time_M=5, dt=0.04)
+        return np.array(u.data), op
+
+    ref, _ = run(_mkgrid(shape))
+    got, op = run(_mkgrid(shape, (2, 2)))
+    hr = op._halo_runner
+    assert hr is not None
+    # the producer's write region is ghost-extended into its halo
+    prods = [it for it in hr.local_schedule.body
+             if isinstance(it, LoweredEq) and it.target.name == 'tmp']
+    assert any(a < 0 for it in prods for (a, b) in it.region)
+    assert np.abs(got - ref).max() < 1e-6
+
+
+def test_save_tap_read_static_halo():
+    """Tap reads of a read-only save buffer run on the explicit path:
+    its halos are filled once at shard entry (VERDICT item 4: save-buffer
+    reads used to force the GSPMD fallback)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    shape = (24, 24)
+    nt = 6
+
+    def run(grid):
+        us = TimeFunction(name='us', grid=grid, space_order=4, save=nt)
+        v = TimeFunction(name='v', grid=grid, time_order=2, space_order=4)
+        rng = np.random.RandomState(7)
+        us.data[:] = rng.rand(nt, *shape).astype(np.float32)
+        op = Operator(Eq(v.forward, 0.3 * v + us.dx2), subs=grid.spacing_map)
+        op.apply(time_M=nt - 2, dt=0.04)
+        return np.array(v.data), op
+
+    ref, _ = run(_mkgrid(shape))
+    got, op = run(_mkgrid(shape, (2, 2)))
+    assert op._halo_runner is not None
+    assert np.abs(got - ref).max() < 1e-5
+
+
+def test_errctl_on_explicit_path():
+    """errctl='max' runs inside the sharded loop (psum-ed halt flag) —
+    reference: rank-local failure aborts all peers (operator.py:743)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    from devito_tpu.exceptions import ExecutionError
+    grid = _mkgrid((16, 16), (2, 2))
+    u = TimeFunction(name='u', grid=grid, time_order=2, space_order=2)
+    vp = Function(name='vp', grid=grid)
+    vp.data[:] = 1.5
+    u.data[0, 8, 8] = 1.0
+    st = solve((1 / (vp * vp)) * u.dt2 - u.laplace, u.forward)
+    op = Operator(Eq(u.forward, st), subs=grid.spacing_map,
+                  opt=('advanced', {'errctl': 'max'}))
+    assert op._halo_runner_for() is not None
+    with pytest.raises(ExecutionError):
+        op.apply(time_M=400, dt=10.0)  # far beyond CFL: blows up
+
+
+def test_data_condition_eligible():
+    """Elementwise data-valued conditions stay on the explicit path
+    (only bare space-dimension guards need the GSPMD fallback)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    shape = (16, 16)
+
+    def run(grid):
+        from devito_tpu.types.dimension import ConditionalDimension
+        u = TimeFunction(name='u', grid=grid, space_order=2)
+        f = Function(name='f', grid=grid)
+        rng = np.random.RandomState(3)
+        f.data[:] = rng.rand(*shape).astype(np.float32)
+        u.data[0, :, :] = 1.0
+        time = grid.time_dim
+        ci = ConditionalDimension(name='ci', parent=time,
+                                  condition=(f > 0.5))
+        op = Operator(Eq(u.forward, u + 0.1 * u.dx, implicit_dims=(ci,))
+                      if hasattr(Eq(u, u), 'implicit_dims') else
+                      Eq(u.forward, u + 0.1 * u.dx))
+        op.apply(time_M=3, dt=1.0, h_x=1.0, h_y=1.0)
+        return np.array(u.data), op
 
     ref, _ = run(_mkgrid(shape))
     got, op = run(_mkgrid(shape, (2, 2)))
