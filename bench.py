@@ -132,8 +132,22 @@ def child_main(n, so):
     damp.data[:] = 0.0
     m = 1 / (vp * vp)
     stencil = solve(m * u.dt2 - u.laplace + damp * u.dt, u.forward)
-    op = Operator(Eq(u.forward, stencil), subs=grid.spacing_map,
-                  name='BenchForward')
+
+    # two configurations: the TPU-native flagship (bf16 wavefield
+    # storage, fp32 compute — opt 'storage-dtype', halves HBM traffic)
+    # and plain fp32 storage for apples-to-apples comparison with the
+    # reference's fp32 runs.  BENCH_STORAGE=off measures fp32 only.
+    sdt = os.environ.get('BENCH_STORAGE', 'bfloat16')
+    cfgs = []
+    if sdt and sdt != 'off':
+        cfgs.append(('bf16_storage', ('advanced', {
+            'storage-dtype': sdt,
+            'storage-dtype-scope': os.environ.get('BENCH_STORAGE_SCOPE',
+                                                  'fields')})))
+    cfgs.append(('fp32', 'advanced'))
+    ops = [(cname, Operator(Eq(u.forward, stencil), subs=grid.spacing_map,
+                            name='BenchForward', opt=copt))
+           for cname, copt in cfgs]
     dt = 0.6 * 10.0 / 1.5 / (3 ** 0.5) / 4  # safely below CFL
 
     def sync():
@@ -151,11 +165,12 @@ def child_main(n, so):
     # one fetch below syncs the warmup too)
     at = os.environ.get('BENCH_AUTOTUNE')
     t0 = time.perf_counter()
-    op.apply(time_m=0, time_M=1, dt=dt, autotune=at if at else None)
+    ops[0][1].apply(time_m=0, time_M=1, dt=dt,
+                    autotune=at if at else None)
     emit(event='ready', warmup_secs=round(time.perf_counter() - t0, 3),
          ndl=400)
 
-    # phase 1: device-side trace measurement (one fetch total)
+    # phase 1: device-side trace measurement (one fetch per config)
     import shutil
     import tempfile
     ktrace = int(os.environ.get('BENCH_KTRACE', 64))
@@ -163,26 +178,35 @@ def child_main(n, so):
     fetch_secs = None
     if not os.environ.get('BENCH_NO_TRACE'):
         import jax.profiler
-        tdir = tempfile.mkdtemp(prefix='bench_trace_')
-        try:
-            with jax.profiler.trace(tdir):
-                op.apply(time_m=0, time_M=ktrace - 1, dt=dt)
-                t0 = time.perf_counter()
-                sync()
-                fetch_secs = time.perf_counter() - t0
-            period = parse_trace_period(tdir, ktrace)
-            if period and period > 0:
-                trace_rate = float(n) ** 3 / period / 1e9
-                emit(event='trace', gpts=trace_rate,
-                     ms_per_step=period * 1e3,
-                     fetch_secs=round(fetch_secs, 2), ndl=400)
-            else:
-                emit(event='trace_failed',
-                     fetch_secs=round(fetch_secs or 0, 2), ndl=400)
-        except Exception as exc:  # pragma: no cover - tunnel flakiness
-            emit(event='trace_failed', error=str(exc)[:200], ndl=400)
-        finally:
-            shutil.rmtree(tdir, ignore_errors=True)
+        for ci, (cname, cop) in enumerate(ops):
+            tdir = tempfile.mkdtemp(prefix='bench_trace_')
+            try:
+                if ci > 0:
+                    cop.apply(time_m=0, time_M=1, dt=dt)  # compile
+                with jax.profiler.trace(tdir):
+                    cop.apply(time_m=0, time_M=ktrace - 1, dt=dt)
+                    t0 = time.perf_counter()
+                    sync()
+                    fs = time.perf_counter() - t0
+                period = parse_trace_period(tdir, ktrace)
+                if period and period > 0:
+                    rate = float(n) ** 3 / period / 1e9
+                    emit(event='trace', cfg=cname, gpts=rate,
+                         ms_per_step=period * 1e3,
+                         fetch_secs=round(fs, 2), ndl=400)
+                    if ci == 0:
+                        trace_rate, fetch_secs = rate, fs
+                else:
+                    emit(event='trace_failed', cfg=cname,
+                         fetch_secs=round(fs or 0, 2), ndl=400)
+                    if ci == 0:
+                        fetch_secs = fs
+            except Exception as exc:  # pragma: no cover - tunnel flake
+                emit(event='trace_failed', cfg=cname,
+                     error=str(exc)[:200], ndl=400)
+            finally:
+                shutil.rmtree(tdir, ignore_errors=True)
+    op = ops[0][1]  # wall-clock phase times the flagship config
 
     # phase 2: wall-clock pair chunks — end-to-end corroboration; only
     # worth the fetches when the tunnel is healthy (or the trace failed)
@@ -218,6 +242,8 @@ class ChildRun:
         self.chunks = []          # (steps, secs)
         self.trace_rate = None    # device-side GPts/s from the profiler
         self.trace_ms = None
+        self.trace_cfg = None
+        self.alt = {}             # other configs: cfg -> (gpts, ms)
         self.fetch_secs = None
         self.done = False
 
@@ -259,13 +285,19 @@ class ChildRun:
                           f"(warmup {msg.get('warmup_secs')}s)",
                           file=sys.stderr, flush=True)
                 elif ev == 'trace':
-                    self.trace_rate = msg.get('gpts')
-                    self.trace_ms = msg.get('ms_per_step')
-                    self.fetch_secs = msg.get('fetch_secs')
-                    print(f"[bench] n={self.n} trace: "
-                          f"{self.trace_ms:.3f} ms/step "
-                          f"({self.trace_rate:.2f} GPts/s), "
-                          f"fetch {self.fetch_secs}s",
+                    cfg = msg.get('cfg')
+                    if self.trace_rate is None:
+                        self.trace_rate = msg.get('gpts')
+                        self.trace_ms = msg.get('ms_per_step')
+                        self.trace_cfg = cfg
+                        self.fetch_secs = msg.get('fetch_secs')
+                    else:
+                        self.alt[cfg] = (msg.get('gpts'),
+                                         msg.get('ms_per_step'))
+                    print(f"[bench] n={self.n} trace[{cfg}]: "
+                          f"{msg.get('ms_per_step'):.3f} ms/step "
+                          f"({msg.get('gpts'):.2f} GPts/s), "
+                          f"fetch {msg.get('fetch_secs')}s",
                           file=sys.stderr, flush=True)
                 elif ev == 'trace_failed':
                     self.fetch_secs = msg.get('fetch_secs')
@@ -297,6 +329,10 @@ class ChildRun:
         if self.trace_rate is not None:
             note = (f'device-side {self.trace_ms:.3f} ms/step via '
                     f'profiler trace')
+            if self.trace_cfg:
+                note = f'{self.trace_cfg} (fp32 compute), ' + note
+            for cfg, (g, ms) in self.alt.items():
+                note += f'; {cfg}: {g:.2f} GPts/s ({ms:.3f} ms/step)'
             wall, _ = self._wall_rate()
             if wall is not None:
                 note += f'; wall-clock pair estimate {wall:.2f} GPts/s'

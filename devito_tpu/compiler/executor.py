@@ -107,25 +107,37 @@ def save_row(t, toff, params, fn):
     return t + toff - base
 
 
+def _upcast(arr, fn):
+    """Upcast a narrow-storage row to the function's compute dtype.
+
+    Placed AFTER the row's dynamic slice so the convert fuses into the
+    consuming stencil fusion: HBM streams the narrow (e.g. bf16) bytes
+    and the VPU widens in-register (types/dense.py _storage_registry)."""
+    want = getattr(fn, 'dtype', None)
+    if want is not None and arr.dtype != want:
+        return arr.astype(want)
+    return arr
+
+
 def _resolve_time_indexed(bufs, fn, tk, toff, t, direction, params=None):
     """Return the (3-d or lower) array for a time-resolved access."""
     import jax
     buf = bufs[fn.name]
     if tk is None:
-        return buf
+        return _upcast(buf, fn)
     if tk == 'stepping':
         if t is None:
             raise CompilationError(
                 "Stepping access outside the time loop")
-        return jax.lax.dynamic_index_in_dim(
-            buf, step_row(t, toff, fn._time_size), 0, keepdims=False)
+        return _upcast(jax.lax.dynamic_index_in_dim(
+            buf, step_row(t, toff, fn._time_size), 0, keepdims=False), fn)
     if tk == 'save':
-        return jax.lax.dynamic_index_in_dim(
-            buf, save_row(t, toff, params, fn), 0, keepdims=False)
+        return _upcast(jax.lax.dynamic_index_in_dim(
+            buf, save_row(t, toff, params, fn), 0, keepdims=False), fn)
     if tk == 'cond':
         factor = fn.dimensions[0].factor or 1
-        return jax.lax.dynamic_index_in_dim(buf, t // factor + toff, 0,
-                                            keepdims=False)
+        return _upcast(jax.lax.dynamic_index_in_dim(
+            buf, t // factor + toff, 0, keepdims=False), fn)
     raise CompilationError(f"Bad time access kind {tk}")
 
 

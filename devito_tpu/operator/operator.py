@@ -329,6 +329,23 @@ class Operator:
             for alias in self._fn_instances.get(name, ()):
                 if alias is not fn and hasattr(alias, 'set_device_layout'):
                     alias.set_device_layout(want)
+            # reduced-precision wavefield storage (opt option
+            # 'storage-dtype': 'bfloat16'): written TimeFunctions keep
+            # their compute dtype but their DEVICE buffer stores narrow —
+            # the executor widens each row after its dynamic slice
+            # (compiler/executor.py _upcast), so HBM traffic halves while
+            # the stencil arithmetic stays fp32.  Reference analog: the
+            # dtype knob (devito/operator/operator.py autotuning dtype),
+            # redesigned storage-vs-compute for the TPU's native bf16.
+            sdt = self._opt_options.get('storage-dtype')
+            scope = self._opt_options.get('storage-dtype-scope', 'fields')
+            narrow = bool(sdt) and (
+                (fn.is_TimeFunction and name in self._writes)
+                or scope == 'all')
+            if narrow:
+                fn.set_storage_dtype(sdt)
+            elif hasattr(fn, 'set_storage_dtype'):
+                fn.set_storage_dtype(fn.dtype)
 
     def _estimate_flops(self):
         per_step = 0

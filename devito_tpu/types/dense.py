@@ -43,6 +43,17 @@ class Buffer:
 # _prepare time.
 _layout_registry = {}
 
+# Device STORAGE dtype by function name: the device buffer may hold a
+# narrower dtype (bfloat16) than the function's compute dtype — the
+# executor upcasts each time-resolved row right after its dynamic slice
+# (so the convert fuses into the stencil fusion and HBM streams the
+# narrow bytes) and the write casts back in the same fusion.  This is
+# the TPU analog of reduced-precision wavefield storage; the reference's
+# counterpart is its dtype knob (devito/operator/operator.py dtype
+# argument + mixed-precision discussions), re-designed as
+# storage-vs-compute split because the MXU/VPU natively consume bf16.
+_storage_registry = {}
+
 
 class DiscreteFunction(AbstractFunction):
     """Common data machinery for grid-backed functions."""
@@ -189,6 +200,34 @@ class DiscreteFunction(AbstractFunction):
         cls._dev_layout = layout
 
     @property
+    def storage_dtype(self):
+        """Dtype of the DEVICE buffer (may be narrower than ``dtype``;
+        see _storage_registry)."""
+        return _storage_registry.get(self.name, self.dtype)
+
+    def set_storage_dtype(self, dt):
+        """Switch the device-buffer storage dtype, syncing any
+        device-authoritative data through the host first."""
+        cls = type(self)
+        try:
+            dt = np.dtype(dt)
+        except TypeError:
+            import ml_dtypes  # 'bfloat16' etc: not a plain-numpy name
+            dt = np.dtype(getattr(ml_dtypes, str(dt)))
+        prev = _storage_registry.get(self.name, self.dtype)
+        if dt == self.dtype:
+            _storage_registry.pop(self.name, None)
+        else:
+            _storage_registry[self.name] = dt
+        if prev == dt:
+            return
+        if cls._coh == self._DEV and cls._dev_buf is not None:
+            self._ensure_host()
+        cls._dev_buf = None
+        if cls._coh == self._BOTH:
+            cls._coh = self._HOST
+
+    @property
     def is_parameter(self):
         return type(self)._is_parameter
 
@@ -248,10 +287,11 @@ class DiscreteFunction(AbstractFunction):
                 hl, _ = cls._halo[-1]
                 n = cls._space_shape[-1]
                 buf = buf[..., hl:hl + n]
+            sdt = self.storage_dtype
             if getattr(cls, '_pristine_zero', False):
-                cls._dev_buf = jnp.zeros(buf.shape, dtype=buf.dtype)
+                cls._dev_buf = jnp.zeros(buf.shape, dtype=sdt)
             else:
-                cls._dev_buf = jnp.asarray(buf)
+                cls._dev_buf = jnp.asarray(buf, dtype=sdt)
             cls._coh = self._BOTH
         return cls._dev_buf
 
@@ -278,7 +318,7 @@ class DiscreteFunction(AbstractFunction):
             hl, _ = cls._halo[-1]
             n = cls._space_shape[-1]
             win = win[..., hl:hl + n]
-        return jnp.asarray(win)
+        return jnp.asarray(win, dtype=self.storage_dtype)
 
     def _absorb_window(self, arr, lo):
         """Write a device-layout window of save rows back into the host
