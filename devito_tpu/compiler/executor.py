@@ -322,7 +322,13 @@ def _sparse_geometry(sf, bufs, params, shard_spec=None):
     """Compute corner indices {dim: (C, P) int arrays, domain coords,
     clipped} and weights (C, P) for a sparse function's interpolation
     stencil. Positions derive from the runtime coordinates buffer
-    (reference: WeightedInterpolator, operations/interpolators.py:210)."""
+    (reference: WeightedInterpolator, operations/interpolators.py:210).
+
+    Returns (corner_idx, W, own): ``own`` is the shard's owned-point
+    index vector when an ownership bucket buffer ``<name>_own`` is
+    present (explicit halo path; parallel/halo.py bucket_sparse_points)
+    — geometry then covers only the ~P/N local points, with -1 padding
+    masked into W — else None (all P points, replicated)."""
     import jax.numpy as jnp
     from itertools import product
 
@@ -330,6 +336,14 @@ def _sparse_geometry(sf, bufs, params, shard_spec=None):
     grid = fn.grid
     interp = fn.interpolator
     dims = grid.dimensions
+
+    own = None
+    ob = bufs.get(f'{fn.name}_own')
+    if ob is not None and getattr(interp, 'name', '') not in (
+            'precomputed', 'matrix'):
+        own_raw = ob.reshape(-1)
+        pad_mask = own_raw >= 0
+        own = jnp.clip(own_raw, 0, None)
 
     per_dim = []
     valid = None
@@ -353,6 +367,8 @@ def _sparse_geometry(sf, bufs, params, shard_spec=None):
             per_dim.append((d, offsets, wlist, gp, n))
     else:
         coords = bufs[f"{fn.name}_coords"]
+        if own is not None:
+            coords = coords[own]
         for j, d in enumerate(dims):
             h = params.get(d.spacing.name, grid.spacing[j])
             o = grid.origin[j]
@@ -375,6 +391,8 @@ def _sparse_geometry(sf, bufs, params, shard_spec=None):
         weights.append(w)
     W = jnp.stack(weights)  # (C, P)
     W = W * valid.astype(W.dtype)
+    if own is not None:
+        W = W * pad_mask.astype(W.dtype)
     idxs = {k: jnp.stack(v) for k, v in corner_idx.items()}  # (C, P)
     # corner enumeration is product(*ranges): the LAST dim varies fastest,
     # so corners come in contiguous groups of cz sharing their leading
@@ -395,7 +413,7 @@ def _sparse_geometry(sf, bufs, params, shard_spec=None):
             inb = (loc >= 0) & (loc <= lext - 1)
             W = W * inb.astype(W.dtype)
             idxs[d.name] = jnp.clip(loc, 0, lext - 1)
-    return idxs, W
+    return idxs, W, own
 
 
 def _exec_sparse(item, bufs, params, t, geom_cache, direction,
@@ -408,11 +426,11 @@ def _exec_sparse(item, bufs, params, t, geom_cache, direction,
     if key not in geom_cache:
         geom_cache[key] = _sparse_geometry(sf, bufs, params,
                                            shard_spec=shard_spec)
-    corner_idx, W = geom_cache[key]
+    corner_idx, W, own = geom_cache[key]
     cz = corner_idx.get('__cz__', 1)
 
     ctx = SparseCtx(bufs, params, corner_idx, W, sf, t=t,
-                    direction=direction, cz=cz)
+                    direction=direction, cz=cz, own=own)
     val = translate(item.expr, ctx)  # (C, P) or (P,) or scalar
     matrix = getattr(type(sf), '_matrix', None)
 
@@ -422,6 +440,13 @@ def _exec_sparse(item, bufs, params, t, geom_cache, direction,
             res = jnp.sum(W * val, axis=0)
         else:
             res = jnp.sum(W, axis=0) * val
+        if own is not None:
+            # owner-bucketed points: scatter the shard's local results
+            # back to global point slots (padding adds masked zeros at
+            # slot 0), then sum partials across shards — a straddling
+            # point's owned-corner partials combine here
+            res = jnp.zeros((sf.npoint,), res.dtype).at[own].add(
+                jnp.broadcast_to(res, own.shape))
         if shard_spec:
             import jax
             axes = tuple(a for (a, n, l) in shard_spec.values() if n > 1)

@@ -290,18 +290,25 @@ class SparseCtx(BaseCtx):
     """
 
     def __init__(self, buffers, params, corner_idx, weights, sparse_fn,
-                 t=None, direction=1, cz=1):
+                 t=None, direction=1, cz=1, own=None):
         super().__init__(buffers, params, t=t, direction=direction)
         self.cz = cz
         self.corner_idx = corner_idx
         self.weights = weights
         self.sparse_fn = sparse_fn
+        # owner-bucketed mode (parallel/halo.py bucket_sparse_points):
+        # the geometry covers only this shard's owned points; sparse
+        # rows are gathered down to them point-by-point
+        self.own = own
 
     def access(self, e):
         import jax.numpy as jnp
         fn = e.function
         if fn.is_SparseFunction:
-            return self._time_resolved(fn, e)  # (P,)
+            row = self._time_resolved(fn, e)  # (P,)
+            if self.own is not None:
+                row = row[..., self.own]  # (C,) owned points
+            return row
         # dense gather at corners (z-compact functions are never gathered
         # at a nonzero z offset — Operator._find_zcompact_candidates)
         arr = self._time_resolved(fn, e)

@@ -504,6 +504,57 @@ def _edge_replicate(row, ax, axis_name, nparts, hl, hr, lext, jnp, lax):
     return row
 
 
+def bucket_sparse_points(coords, grid, topology, radius):
+    """Owner buckets of sparse points over the shard topology.
+
+    For each mesh shard, the indices of the points whose interpolation
+    support (``radius`` grid points each way around the point) can touch
+    a cell the shard owns.  Points interior to one shard appear in
+    exactly its bucket; points whose support straddles a shard boundary
+    appear in every overlapped shard's bucket (their foreign corners are
+    masked by the ownership localization in _sparse_geometry, so each
+    shard contributes exactly its owned corners).
+
+    TPU-native replacement for the reference's SparseDistributor scatter
+    (devito/mpi/distributed.py:729, types/sparse.py _dist_scatter:715):
+    instead of resizing per-rank arrays, fixed-capacity -1-padded index
+    buckets shaped ``topology + (C,)`` ride the mesh sharded over its
+    axes, keeping shapes static for XLA.
+
+    Returns an int32 array of shape ``topology + (C,)`` (``C`` = max
+    bucket size, rounded up; empty buckets all -1).
+    """
+    coords = np.asarray(coords)
+    P = coords.shape[0]
+    ndim = len(topology)
+    lo = np.zeros((P, ndim), dtype=np.int64)
+    hi = np.zeros((P, ndim), dtype=np.int64)
+    for j in range(ndim):
+        h = grid.spacing[j]
+        o = grid.origin[j]
+        n = grid.shape[j]
+        t = topology[j]
+        lext = n // t
+        px = (coords[:, j] - o) / h
+        base = np.floor(px).astype(np.int64)
+        lo[:, j] = np.clip((base - radius) // lext, 0, t - 1)
+        hi[:, j] = np.clip((base + radius) // lext, 0, t - 1)
+    buckets = {}
+    for p in range(P):
+        ranges = [range(lo[p, j], hi[p, j] + 1) for j in range(ndim)]
+        idx = [()]
+        for r in ranges:
+            idx = [i + (s,) for i in idx for s in r]
+        for s in idx:
+            buckets.setdefault(s, []).append(p)
+    C = max((len(v) for v in buckets.values()), default=1)
+    C = max(C, 1)
+    out = np.full(tuple(topology) + (C,), -1, dtype=np.int32)
+    for s, pts in buckets.items():
+        out[s + (slice(0, len(pts)),)] = pts
+    return out
+
+
 class ShardedRunner:
     """shard_map-wrapped executor for one Operator on a distributed Grid.
 
@@ -950,9 +1001,17 @@ class ShardedRunner:
 
         def make(wnames, rnames, pnames):
             wspecs = {n: classify(n)[1] for n in wnames}
-            rspecs = {n: (P0 if n.endswith('_coords') and
-                          n[:-7] in op._sparse else classify(n)[1])
-                      for n in rnames}
+            def rspec(n):
+                if n.endswith('_coords') and n[:-7] in op._sparse:
+                    return P0
+                if n.endswith('_own') and n[:-4] in op._sparse:
+                    # ownership buckets ride the mesh: one bucket row
+                    # per shard (prepare_buffers)
+                    from jax.sharding import PartitionSpec
+                    return PartitionSpec(*self.dist.axis_names, None)
+                return classify(n)[1]
+
+            rspecs = {n: rspec(n) for n in rnames}
             ospecs = {n: classify(n)[1] for n in wnames}
             if op._errctl is not None:
                 ospecs['__err__'] = P0  # psum-ed inside: replicated
@@ -970,7 +1029,13 @@ class ShardedRunner:
         return self
 
     def prepare_buffers(self, wbufs, rbufs):
-        """Global padded buffers -> sharded interior views."""
+        """Global padded buffers -> sharded interior views.
+
+        Also builds the per-shard sparse ownership buckets
+        (bucket_sparse_points) from the host-visible coordinates: each
+        shard gathers/scatters only its ~P/N owned points instead of
+        masking all P (the reference's SparseDistributor scatter,
+        devito/mpi/distributed.py:729)."""
         import jax
         import jax.numpy as jnp
         reads = self.op._reads
@@ -986,8 +1051,25 @@ class ShardedRunner:
             return jax.device_put(
                 interior, NamedSharding(mesh, self._spec(fn)))
 
-        return ({k: conv(k, v) for k, v in wbufs.items()},
-                {k: conv(k, v) for k, v in rbufs.items()})
+        out_r = {k: conv(k, v) for k, v in rbufs.items()}
+        if self.parts:
+            own_spec = NamedSharding(
+                mesh, PartitionSpec(*self.dist.axis_names, None))
+            for name, sf in self.op._sparse.items():
+                cname = f'{name}_coords'
+                coords = rbufs.get(cname)
+                interp = getattr(sf, 'interpolator', None)
+                if coords is None or interp is None:
+                    continue
+                if getattr(interp, 'name', '') in ('precomputed',
+                                                   'matrix'):
+                    continue  # gridpoint tables: stay replicated+masked
+                buckets = bucket_sparse_points(
+                    np.asarray(coords), self.grid, self.dist.topology,
+                    int(interp.max_radius) + 1)
+                out_r[f'{name}_own'] = jax.device_put(
+                    jnp.asarray(buckets), own_spec)
+        return ({k: conv(k, v) for k, v in wbufs.items()}, out_r)
 
     def restore(self, name, arr, jnp):
         """Sharded interior output -> canonical padded global array (halo
