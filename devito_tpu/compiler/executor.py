@@ -496,7 +496,8 @@ def _exec_sparse(item, bufs, params, t, geom_cache, direction,
 
 
 def build_runner(schedule, write_names, stepping_info=None, errctl=None,
-                 anchor=0, exchange=None, shard_spec=None):
+                 anchor=0, exchange=None, shard_spec=None,
+                 lane_strips=True):
     """Build ``run(wbufs, rbufs, params, time_m, time_M) -> wbufs``.
 
     ``stepping_info``: {fn name: nslots} for rolling-buffer TimeFunctions;
@@ -515,6 +516,13 @@ def build_runner(schedule, write_names, stepping_info=None, errctl=None,
     when running inside shard_map; localizes sparse scatter/gather
     indices and psums interpolation partial sums.
 
+    ``lane_strips``: hoist loop-invariant z-halo strips so stepping
+    writes are full-lane aligned (the single-chip win — see module
+    docstring). Off under GSPMD sharding: the strip concat along a
+    sharded lane axis makes the SPMD partitioner emit per-step
+    all-gathers/all-to-alls, which cost far more than the cross-lane
+    DUS rotation the strips avoid.
+
     ``errctl``: tuple of stepping TimeFunction names to stability-scan
     every 100 steps inside the loop (reference: passes/iet/errors.py:79 — the C
     codegen emits ``if (t % 100 == 0) if (!isfinite(sum)) break``); here the
@@ -530,19 +538,34 @@ def build_runner(schedule, write_names, stepping_info=None, errctl=None,
     direction = schedule.direction
     forward = direction >= 0
 
+    # schedule-section scope names, matching Operator._estimate_flops'
+    # enumeration: the jax.named_scope tags flow into the HLO ops'
+    # tf_op metadata, so the measured profiler (operator/trace_profile)
+    # can attribute each device op's busy time to ITS section even
+    # after XLA fuses across items
+    sec_names = {}
+    for it in schedule.body:
+        if isinstance(it, (LoweredEq, LoweredSparse)):
+            sec_names[id(it)] = f'dtpu_sec{len(sec_names)}'
+
     def _exec_items(items, bufs, params, t, geom_cache, strips=None):
+        from contextlib import nullcontext
         for it in items:
-            if isinstance(it, LoweredEq):
-                bufs = _exec_dense(it, bufs, params, t, direction, strips)
-            elif isinstance(it, LoweredSparse):
-                bufs = _exec_sparse(it, bufs, params, t, geom_cache,
-                                    direction, shard_spec)
-            elif getattr(it, 'kind', None) == 'halo':
-                # halo marker (parallel/halo.py): exchange start/finish/
-                # sync scheduled like any other item
-                bufs = it.run(bufs, params, t)
-            else:
-                raise CompilationError(f"Cannot execute {it}")
+            scope = sec_names.get(id(it))
+            ctx = jax.named_scope(scope) if scope else nullcontext()
+            with ctx:
+                if isinstance(it, LoweredEq):
+                    bufs = _exec_dense(it, bufs, params, t, direction,
+                                       strips)
+                elif isinstance(it, LoweredSparse):
+                    bufs = _exec_sparse(it, bufs, params, t, geom_cache,
+                                        direction, shard_spec)
+                elif getattr(it, 'kind', None) == 'halo':
+                    # halo marker (parallel/halo.py): exchange start/
+                    # finish/sync scheduled like any other item
+                    bufs = it.run(bufs, params, t)
+                else:
+                    raise CompilationError(f"Cannot execute {it}")
         return bufs
 
     def _hoist_strips(raw_bufs):
@@ -558,6 +581,8 @@ def build_runner(schedule, write_names, stepping_info=None, errctl=None,
         of a per-step read of the target row (which flips XLA to a
         per-tap-stream fusion strategy — measured 4x slower)."""
         strips = {}
+        if not lane_strips:
+            return strips
         for it in schedule.body:
             if not isinstance(it, LoweredEq) or it.time_kind != 'stepping':
                 continue

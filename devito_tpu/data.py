@@ -77,11 +77,22 @@ class Data:
                 mapped.append(hl + i)
             elif isinstance(i, slice):
                 start, stop, step = i.indices(n)
-                if step != 1:
-                    return None, False
-                mapped.append(slice(hl + start, hl + stop))
+                # strided slices execute device-side too (the reference
+                # Data supports them via its decomposition engine,
+                # data/decomposition.py; here jax.Array strided indexing
+                # ships only the selected elements)
+                mapped.append(slice(hl + start, hl + stop, step))
+            elif isinstance(i, (list, np.ndarray)) and \
+                    np.asarray(i).dtype != bool:
+                # integer-array (advanced) indexing: numpy semantics,
+                # executed as a device-side gather
+                ai = np.asarray(i)
+                if ai.size and (ai.min() < -n or ai.max() >= n):
+                    raise IndexError(f"index array out of bounds for "
+                                     f"axis {axis} with size {n}")
+                mapped.append(np.where(ai < 0, ai + n, ai) + hl)
             else:
-                return None, False   # advanced indexing: fall back
+                return None, False   # bool masks etc: fall back
         return tuple(mapped), True
 
     def _dev(self):
@@ -126,17 +137,31 @@ class Data:
     def copy(self):
         return self._gather()
 
+    def _reduce(self, name, *a, **k):
+        """Whole-array reductions run DEVICE-side (distributed under
+        GSPMD; only the scalar ships to the host — round-1 weak item 6:
+        `.data.max()` used to gather the full buffer). Axis/kwarg forms
+        fall back to a host gather."""
+        if a or k:
+            return getattr(self._gather(), name)(*a, **k)
+        import jax.numpy as jnp
+        mapped, _ = self._mapped((slice(None),) * len(self.shape))
+        view = self._dev()[mapped]
+        if name == 'sum' and view.dtype != self.dtype:
+            view = view.astype(self.dtype)  # bf16 storage: fp32 accum
+        return np.asarray(getattr(jnp, name)(view))[()]
+
     def min(self, *a, **k):
-        return self._gather().min(*a, **k)
+        return self._reduce('min', *a, **k)
 
     def max(self, *a, **k):
-        return self._gather().max(*a, **k)
+        return self._reduce('max', *a, **k)
 
     def sum(self, *a, **k):
-        return self._gather().sum(*a, **k)
+        return self._reduce('sum', *a, **k)
 
     def all(self, *a, **k):
-        return self._gather().all(*a, **k)
+        return self._reduce('all', *a, **k)
 
     def any(self, *a, **k):
-        return self._gather().any(*a, **k)
+        return self._reduce('any', *a, **k)

@@ -1079,12 +1079,8 @@ class ShardedRunner:
             return arr
         lead = 1 if fn.is_TimeFunction else 0
         pads = [(0, 0)] * lead
+        alloc = fn.shape_allocated[lead:]
         for j, ((hl, hr), n) in enumerate(zip(fn.halo,
                                               type(fn)._space_shape)):
-            pad_r = hr
-            if j == len(fn.halo) - 1:
-                from ..utils import round_up
-                total = round_up(n + hl + hr, 128)
-                pad_r = total - n - hl
-            pads.append((hl, pad_r))
+            pads.append((hl, alloc[j] - n - hl))
         return jnp.pad(arr, pads)

@@ -74,7 +74,8 @@ configuration.add('save-budget', 4 << 30)
 configuration.add('develop-mode', False, accepted=[True, False])
 configuration.add('safe-math', False, accepted=[True, False])
 configuration.add('autotuning', 'off', accepted=['off', 'basic', 'aggressive'])
-configuration.add('profiling', 'basic', accepted=['basic', 'advanced'])
+configuration.add('profiling', 'basic',
+                  accepted=['basic', 'advanced', 'measured'])
 # when set to a directory path, Operator.apply wraps execution in
 # jax.profiler.trace(dir) (TensorBoard/Perfetto timeline)
 configuration.add('profile-dir', None)

@@ -146,17 +146,39 @@ class DiscreteFunction(AbstractFunction):
         return tuple(n + l + r for n, (l, r)
                      in zip(self.shape, self.halo))
 
-    @property
-    def shape_allocated(self):
-        """Halo'd shape with the innermost extent rounded up to the TPU
-        lane width (128) — Mosaic requires 128-aligned last-dim windows for
-        HBM DMA, and XLA lays the trailing pad out for free. The pad tail
-        is never addressed by the slice lowering."""
-        s = self.shape_with_halo
+    def _allocated_space(self):
+        """Allocated extent per space axis: halo'd; the innermost (TPU
+        lane) axis rounds up to 128 (Mosaic requires 128-aligned last-dim
+        windows for HBM DMA, and XLA lays the trailing pad out for free);
+        under a distributed Grid every sharded axis additionally rounds
+        up to its topology factor so GSPMD can shard it EVENLY — the TPU
+        analog of the reference's uneven Decomposition
+        (devito/data/decomposition.py:12): instead of per-rank extents,
+        one dead pad tail that the slice lowering never addresses."""
+        from math import gcd
+        from ..utils import round_up
+        s = tuple(n + l + r for n, (l, r) in zip(type(self)._space_shape,
+                                                 type(self)._halo))
         if not s:
             return s
-        from ..utils import round_up
-        return s[:-1] + (round_up(s[-1], 128),)
+        s = s[:-1] + (round_up(s[-1], 128),)
+        grid = type(self)._grid
+        dist = grid.distributor if grid is not None else None
+        if dist is not None and len(dist.topology) == len(s):
+            out = []
+            for j, (e, t) in enumerate(zip(s, dist.topology)):
+                if t > 1:
+                    q = t if j < len(s) - 1 else 128 * t // gcd(128, t)
+                    e = round_up(e, q)
+                out.append(e)
+            s = tuple(out)
+        return s
+
+    @property
+    def shape_allocated(self):
+        """Halo'd shape, padded for lane alignment and even sharding
+        (see _allocated_space)."""
+        return self._allocated_space()
 
     @property
     def dev_halo(self):
@@ -516,9 +538,7 @@ class TimeFunction(Function):
 
     @property
     def shape_allocated(self):
-        s = self.shape_with_halo
-        from ..utils import round_up
-        return s[:-1] + (round_up(s[-1], 128),)
+        return (self._time_size,) + self._allocated_space()
 
     @property
     def halo(self):
