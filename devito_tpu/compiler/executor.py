@@ -59,6 +59,17 @@ def _region_map(eq):
         for d, (start, stop) in zip(fn.space_dimensions, eq.region))
 
 
+def _stride_map(eq):
+    """{parent dim name: (target dim name, factor)} for target space
+    dims that are spatially-subsampled ConditionalDimensions — accesses
+    through the parent become strided reads (translate.DenseCtx)."""
+    out = {}
+    for d in eq.target.space_dimensions:
+        if getattr(d, 'is_Conditional', False) and d.parent is not None:
+            out[d.parent.name] = (d.name, int(d.factor or 1))
+    return out
+
+
 def _free_dims(eq):
     """Reduction dimensions: rhs space dims absent from the target —
     an ``Inc`` over them is a contraction (reference misc/linalg.py
@@ -68,6 +79,9 @@ def _free_dims(eq):
     {dim name: (0, extent)} in a deterministic order."""
     from ..types.basic import retrieve_functions
     target_names = {d.name for d in eq.target.space_dimensions}
+    # parents of subsampled target dims are not free: they map to
+    # strided reads over the subsampled region
+    target_names.update(_stride_map(eq))
     out = OrderedDict()
     for a in retrieve_functions(eq.rhs):
         f = a.function
@@ -237,7 +251,8 @@ def _exec_dense(eq, bufs, params, t, direction, strips=None):
     free = _free_dims(eq)
     if free:
         region = OrderedDict(list(region.items()) + list(free.items()))
-    ctx = DenseCtx(bufs, params, region, t=t, direction=direction)
+    ctx = DenseCtx(bufs, params, region, t=t, direction=direction,
+                   stride_map=_stride_map(eq))
     if val is None:
         val = translate(eq.rhs, ctx)
         if free:
@@ -458,11 +473,23 @@ def _exec_sparse(item, bufs, params, t, geom_cache, direction,
         buf = bufs[sf.name]
         res = jnp.broadcast_to(res, buf.shape[-1:]).astype(buf.dtype)
         if sf.is_SparseTimeFunction:
-            tidx = t + item.target_time_off
-            if item.increment:
-                buf = buf.at[tidx, :].add(res)
+            td = sf.dimensions[0]
+            factor = (td.factor or 1) if getattr(td, 'is_Conditional',
+                                                 False) else 1
+            tidx = (t // factor if factor > 1 else t) + \
+                item.target_time_off
+
+            def _wr(b):
+                if item.increment:
+                    return b.at[tidx, :].add(res)
+                return b.at[tidx, :].set(res)
+            if factor > 1:
+                # subsampled recording: fire every `factor`-th step
+                import jax
+                buf = jax.lax.cond(jnp.mod(t, factor) == 0, _wr,
+                                   lambda b: b, buf)
             else:
-                buf = buf.at[tidx, :].set(res)
+                buf = _wr(buf)
         else:
             buf = buf.at[:].set(res) if not item.increment \
                 else buf.at[:].add(res)

@@ -179,9 +179,16 @@ class DenseCtx(BaseCtx):
     domain coordinates.
     """
 
-    def __init__(self, buffers, params, region, t=None, direction=1):
+    def __init__(self, buffers, params, region, t=None, direction=1,
+                 stride_map=None):
         super().__init__(buffers, params, t=t, direction=direction)
         self.region = region
+        # {parent dim name: (region dim name, factor)} — the write
+        # region iterates a spatially-subsampled ConditionalDimension,
+        # so accesses indexed by the PARENT read strided positions
+        # parent = factor*sub (reference: test_dimension.py
+        # test_spacial_subsampling:956)
+        self.stride_map = stride_map or {}
 
     def symbol(self, sym):
         import jax.numpy as jnp
@@ -217,6 +224,9 @@ class DenseCtx(BaseCtx):
         last_plain = (specs and specs[-1][0] == 'rel'
                       and specs[-1][1] == fn.space_dimensions[-1].name
                       and specs[-1][2] == 0)
+        if last_plain and specs[-1][1] not in self.region:
+            # indexing dim outside the region (stride_map parent)
+            last_plain = False
         if last_plain:
             # a halo-extended read region (CIRE temporaries computed into
             # the halo) also needs the synthesized z halo
@@ -244,6 +254,15 @@ class DenseCtx(BaseCtx):
                 s = hl + sp[1]
                 slices.append(slice(s, s + 1))
                 idx_dims.append(None)
+            elif sp[1] not in self.region and sp[1] in self.stride_map:
+                # strided access through the parent of a subsampled
+                # region dimension: parent index = factor*sub + off
+                _, dn, off = sp
+                rdn, f = self.stride_map[dn]
+                start, length = self.region[rdn]
+                s = hl + f * start + off
+                slices.append(slice(s, s + f * (length - 1) + 1, f))
+                idx_dims.append(rdn)
             else:
                 _, dn, off = sp
                 start, length = self.region[dn]

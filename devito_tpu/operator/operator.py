@@ -491,8 +491,15 @@ class Operator:
             elif isinstance(it, LoweredSparse):
                 accs = list(retrieve_functions(it.expr))
                 if it.kind == 'interp' and it.sparse.is_SparseTimeFunction:
-                    sized.append(it.sparse.shape[0] - 1)
-                    max_up = max(max_up, it.target_time_off)
+                    td = it.sparse.dimensions[0]
+                    if getattr(td, 'is_Conditional', False) and td.factor:
+                        # subsampled recording: row t//factor
+                        cond_bounds.append(
+                            td.factor * (it.sparse.shape[0]
+                                         - it.target_time_off) - 1)
+                    else:
+                        sized.append(it.sparse.shape[0] - 1)
+                        max_up = max(max_up, it.target_time_off)
                 if it.kind == 'inject' and it.field_time_kind is not None:
                     off = it.field_time_off or 0
                     max_up = max(max_up, off)

@@ -168,15 +168,23 @@ class SparseTimeFunction(AbstractSparseFunction):
     is_SparseTimeFunction = True
 
     @classmethod
-    def __init_metadata__(cls, nt=None, time_order=None, **kwargs):
+    def __init_metadata__(cls, nt=None, time_order=None, time_dim=None,
+                          **kwargs):
         cls._nt = nt
         cls._time_order = time_order or 2
+        # a ConditionalDimension time_dim subsamples the recording:
+        # row k holds time k*factor (reference: types/sparse.py
+        # SparseTimeFunction with a subsampled time_dim,
+        # tests/test_dimension.py test_sparse_time_function:1729)
+        cls._user_time_dim = time_dim
         super().__init_metadata__(nt=nt, **kwargs)
 
     @classmethod
     def _make_dimensions(cls):
         grid = cls._grid
-        tdim = grid.time_dim if grid is not None else Dimension('time')
+        tdim = getattr(cls, '_user_time_dim', None)
+        if tdim is None:
+            tdim = grid.time_dim if grid is not None else Dimension('time')
         cls._time_dim_ = tdim
         return (tdim, cls._p_dim)
 
