@@ -30,13 +30,32 @@ class TimedAccess:
     """One read or write access of a function inside a schedule item
     (reference: ir/support/basic.py TimedAccess:202)."""
 
-    def __init__(self, fn, tk, toff, offsets, mode, item_index):
+    def __init__(self, fn, tk, toff, offsets, mode, item_index,
+                 region=None):
         self.function = fn
         self.time_kind = tk
         self.time_off = toff if toff is not None else 0
         self.offsets = tuple(offsets or ())
         self.mode = mode            # 'R' | 'W'
         self.item_index = item_index
+        # per-space-dim (start, stop) touched by this access in domain
+        # coordinates, or None when unknown (reference: the iteration
+        # intervals consumed by disjoint_test, ir/support/basic.py:1498)
+        self.region = region
+
+    def touches_disjoint(self, other):
+        """True iff the two accesses provably touch non-intersecting
+        index regions (reference disjoint_test:1498): some space axis
+        has empty interval intersection. Writes to disjoint SubDomain
+        strips (the BC idiom) then carry NO dependence, so scheduling
+        and halo-eligibility may reorder/parallelize them."""
+        ra, rb = self.region, other.region
+        if ra is None or rb is None or len(ra) != len(rb):
+            return False
+        for (s1, e1), (s2, e2) in zip(ra, rb):
+            if e1 <= s2 or e2 <= s1:
+                return True
+        return False
 
     @property
     def is_read(self):
@@ -114,31 +133,51 @@ class Dependence:
                 f"dist={self.distance}>")
 
 
+def _int_region(item):
+    """The item's write region as concrete int intervals, or None."""
+    try:
+        return tuple((int(s), int(e)) for s, e in item.region)
+    except (TypeError, ValueError):
+        return None
+
+
 def _item_accesses(item, idx):
     """All TimedAccesses of a schedule item."""
     out = []
+    reg = _int_region(item) if isinstance(item, LoweredEq) else None
+    tgt_dims = tuple(d.name for d in item.target.space_dimensions) \
+        if isinstance(item, LoweredEq) else ()
 
     def reads_of(expr):
         for a in retrieve_functions(expr):
             fn = a.function
+            rreg = None
             if fn.is_SparseFunction:
                 tk, toff = ('sparse', 0)
                 offs = ()
             else:
                 tk, toff = time_access_of(a)
                 offs = space_offsets_of(a, absolute='zero')
-            out.append(TimedAccess(fn, tk, toff, offs, 'R', idx))
+                if (reg is not None and len(offs) == len(reg)
+                        and tuple(d.name for d in fn.space_dimensions)
+                        == tgt_dims):
+                    # read region = write region shifted by the taps
+                    rreg = tuple((s + o, e + o)
+                                 for (s, e), o in zip(reg, offs))
+            out.append(TimedAccess(fn, tk, toff, offs, 'R', idx,
+                                   region=rreg))
 
     if isinstance(item, LoweredEq):
         reads_of(item.rhs)
         if item.condition is not None:
             reads_of(item.condition)
         out.append(TimedAccess(item.target, item.time_kind, item.time_off,
-                               (0,) * len(item.region), 'W', idx))
+                               (0,) * len(item.region), 'W', idx,
+                               region=reg))
         if item.increment or item.reduction:
             out.append(TimedAccess(item.target, item.time_kind,
                                    item.time_off, (0,) * len(item.region),
-                                   'R', idx))
+                                   'R', idx, region=reg))
     elif isinstance(item, LoweredSparse):
         reads_of(item.expr)
         if item.kind == 'interp':
@@ -170,6 +209,8 @@ class Scope:
                     continue
                 if not (a.is_write or b.is_write):
                     continue  # input dep: irrelevant
+                if a.touches_disjoint(b):
+                    continue  # provably non-intersecting regions
                 if a.item_index < b.item_index:
                     deps.append(Dependence(a, b))
                 elif (a.item_index == b.item_index and a is not b
