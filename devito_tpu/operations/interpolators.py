@@ -19,6 +19,35 @@ __all__ = ['Interpolation', 'Injection', 'LinearInterpolator',
            'SincInterpolator', 'PrecomputedInterpolator']
 
 
+def _u_t_delta(u_t):
+    """Constant time shift encoded by a ``u_t=`` argument (an expression
+    in the field's own time index, e.g. ``t + 1`` — reference:
+    interpolators.py ``u_t``/``p_t`` shifting)."""
+    if u_t is None:
+        return 0
+    u_t = sympy.sympify(u_t)
+    from ..types.dimension import Dimension
+    dims = [s for s in u_t.free_symbols if isinstance(s, Dimension)]
+    if len(dims) != 1:
+        raise InvalidOperator(f"u_t={u_t}: expected <time dim> + const")
+    delta = sympy.simplify(u_t - dims[0])
+    if not delta.is_number:
+        raise InvalidOperator(f"u_t={u_t}: expected <time dim> + const")
+    return int(delta)
+
+
+def _shift_time(expr, u_t):
+    """Shift every time-dimension index in ``expr`` by the u_t delta."""
+    delta = _u_t_delta(u_t)
+    if not delta:
+        return expr
+    from ..types.dimension import Dimension
+    tdims = {s for s in expr.free_symbols
+             if isinstance(s, Dimension) and (s.is_Time or (
+                 s.is_Derived and s.root.is_Time))}
+    return expr.subs({s: s + delta for s in tdims}, simultaneous=True)
+
+
 class Interpolation:
     """Lazy: ``sparse rows <- interp(expr at point coords)``."""
 
@@ -35,9 +64,17 @@ class Interpolation:
         # interpolation stencil's anchor points are grid nodes), so
         # derivatives of staggered fields project there — matches the
         # reference's rec.interpolate(expr=div(v)) elastic semantics
+        from ..finite_differences.differentiable import interp_for_fd
         x0 = {d: sympy.Rational(0)
               for d in self.sparse.grid.dimensions}
-        expr = evaluate_expr(self.expr, x0=x0)
+        # bare staggered accesses project onto the node lattice FIRST
+        # (pre-evaluation, so Derivative subtrees keep their own exact
+        # projection — reference: test_interpolation.py
+        # test_interpolate_staggered: the half-cell offset must not be
+        # silently dropped)
+        expr = interp_for_fd(self.expr, x0)
+        expr = evaluate_expr(expr, x0=x0)
+        expr = _shift_time(expr, self.u_t)
         if subs:
             expr = expr.subs(subs)
         out = []
@@ -129,6 +166,9 @@ class Injection:
                     f"Injection into {field.function.name}: halo "
                     f"{field.function.halo} smaller than interpolation "
                     f"radius {radius}")
+        if tk is not None and toff is not None:
+            toff = toff + _u_t_delta(self.u_t)
+        expr = _shift_time(expr, self.u_t)
         return [LoweredSparse('inject', self.sparse, expr,
                               field=field.function, field_time_off=toff,
                               field_time_kind=tk)]

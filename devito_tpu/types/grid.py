@@ -289,9 +289,13 @@ class SubDomainSet(SubDomain):
         for i in range(self._N):
             region = []
             for j, s in enumerate(grid.shape):
-                lt = int(np.asarray(self._bounds[2*j])[i])
-                rt = int(np.asarray(self._bounds[2*j+1])[i])
-                region.append((lt, s - rt))
+                # scalar bounds broadcast to every region (reference:
+                # test_subdomains.py test_multi_eq — bounds_ym = 1)
+                lt = np.broadcast_to(np.asarray(self._bounds[2*j]),
+                                     (self._N,))[i]
+                rt = np.broadcast_to(np.asarray(self._bounds[2*j+1]),
+                                     (self._N,))[i]
+                region.append((int(lt), s - int(rt)))
             yield tuple(region)
 
     def __subdomain_finalize__(self, grid):

@@ -20,6 +20,7 @@ Run on the chip: python experiments/stencil_probe10.py [variant] [steps]
 No arg: run all variants with pair-differenced timing.
 """
 
+import os
 import sys
 import time
 
@@ -27,7 +28,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-N, H = 192, 8
+N, H = int(os.environ.get('PROBE_N', 192)), 8
 W = [-205.0 / 72, 8.0 / 5, -1.0 / 5, 8.0 / 315, -1.0 / 560]
 C = 0.1
 
@@ -43,14 +44,18 @@ def shiftz_prefix(a, k, n):
     return jnp.concatenate([zeros, row[..., :n + k]], axis=-1)
 
 
+def _round_up(v, q):
+    return -(-v // q) * q
+
+
 def make_step(variant):
     XA = YA = N + 2 * H
     if variant == 'padded':
-        ZA, zoff = 256, H
+        ZA, zoff = _round_up(N + 2 * H, 128), H
     elif variant == 'compact':
         ZA, zoff = N, 0
     else:
-        ZA, zoff = 256, 0
+        ZA, zoff = _round_up(N, 128), 0
 
     def lap(u):
         # x/y taps: slices in the halo'd axes; z taps per variant
