@@ -1,0 +1,143 @@
+"""Ports of the reference's Data indexing matrix (reference:
+tests/test_data.py — numpy-equivalent semantics of the .data views,
+serial and sharded)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from devito_tpu import Grid, Function, TimeFunction, SparseTimeFunction
+from devito_tpu.parallel.distributor import Distributor
+
+
+def test_simple_indexing():
+    """(reference: test_simple_indexing:23)"""
+    grid = Grid(shape=(16, 16, 16))
+    u = Function(name='yu3D', grid=grid, space_order=0)
+    u.data[0, 1, 1] = 1.
+    assert u.data[0, 0, 0] == 0.
+    assert u.data[0, 1, 1] == 1.
+    assert np.all(np.asarray(u.data) == np.asarray(u.data[:, :, :]))
+    assert 1. in np.asarray(u.data[0])
+    assert 1. in np.asarray(u.data[0, 1])
+    assert u.data[0, -15, -15] == 1.
+    u.data[6, 0, 0] = 1.
+    assert np.asarray(u.data[-10, :, :]).sum() == 1.
+    u.data[:] = 3.
+    assert np.all(np.asarray(u.data) == 3.)
+    u.data[5, :, 5] = 5.
+    assert np.all(np.asarray(u.data[5, :, 5]) == 5.)
+    sliced = np.asarray(u.data[-11, :, -11])
+    assert sliced.shape == (16,)
+    assert np.all(sliced == 5.)
+    block = np.full((1, 16, 1), 4., dtype=np.float32)
+    u.data[4:5, :, 4:5] = block
+    assert np.all(np.asarray(u.data[4, :, 4]) == 4.)
+
+
+def test_advanced_indexing():
+    """(reference: test_advanced_indexing:60)"""
+    grid = Grid(shape=(4, 4, 4))
+    u = TimeFunction(name='yu4D', grid=grid, space_order=0, time_order=1)
+    u.data[:] = 0.
+    u.data[1, 1:-1, 1:-1, 1:-1] = 6.
+    assert np.all(np.asarray(u.data[0]) == 0.)
+    assert np.all(np.asarray(u.data[1, 1:-1, 1:-1, 1:-1]) == 6.)
+    assert np.all(np.asarray(u.data[1, :, 0]) == 0.)
+    assert np.all(np.asarray(u.data[1, :, -1]) == 0.)
+    assert np.all(np.asarray(u.data[1, :, :, 0]) == 0.)
+    assert np.all(np.asarray(u.data[1, :, :, -1]) == 0.)
+
+
+def test_negative_step():
+    """(reference: test_negative_step:75)"""
+    grid = Grid(shape=(6, 6, 6))
+    u = TimeFunction(name='u', grid=grid)
+    u.data[:] = 0.
+    dat = np.array([1, 2, 3, 4, 5, 6], dtype=np.float32)
+    u.data[0, :, 0, 0] = dat
+    assert np.array_equal(np.asarray(u.data[0, 3::-1, 0, 0]), dat[3::-1])
+    assert np.array_equal(np.asarray(u.data[0, 5:1:-1, 0, 0]), dat[5:1:-1])
+
+
+def test_negative_start():
+    """(reference: test_negative_start:85)"""
+    grid = Grid(shape=(13,))
+    f = Function(name='f', grid=grid)
+    dat = np.array([1, 2, 3, 4], dtype=np.float32)
+    f.data[slice(-4, None, 1)] = dat
+    assert np.all(np.asarray(f.data[9:]) == dat)
+
+
+def test_halo_indexing():
+    """(reference: test_halo_indexing:94)"""
+    grid = Grid(shape=(16, 16, 16))
+    u = Function(name='yu3D', grid=grid, space_order=2)
+    assert u.shape == u.data.shape == (16, 16, 16)
+    assert u.data_with_halo.shape == (20, 20, 20)
+    u.data_with_halo[0, 0, 0] = 1.
+    u.data[0, 0, 0] = 2.
+    assert u.data_with_halo[0, 0, 0] == 1.
+    assert u.data[0, 0, 0] == 2.
+    assert u.data_with_halo[2, 2, 2] == 2.
+    u.data_with_halo[-1, -1, -1] = 3.
+    assert u.data[-1, -1, -1] == 0.
+    assert u.data_with_halo[-1, -1, -1] == 3.
+
+
+def test_logic_indexing():
+    """Boolean-mask indexing follows numpy (reference:
+    test_logic_indexing:193)."""
+    grid = Grid(shape=(4, 4))
+    f = Function(name='f', grid=grid)
+    f.data[:] = np.arange(16, dtype=np.float32).reshape(4, 4)
+    mask = np.asarray(f.data) > 10.
+    vals = np.asarray(f.data)[mask]
+    assert np.array_equal(np.sort(vals), np.arange(11, 16))
+
+
+def test_arithmetic():
+    """In-place-style arithmetic through the view (reference:
+    test_arithmetic:148)."""
+    grid = Grid(shape=(8, 8))
+    f = Function(name='f', grid=grid)
+    f.data[:] = 2.
+    assert np.all(np.asarray(f.data) + 1. == 3.)
+    assert np.all(np.asarray(f.data) * 2. == 4.)
+    assert float(f.data.sum()) == 2. * 64
+    assert float(f.data.min()) == 2. and float(f.data.max()) == 2.
+
+
+def test_indexing_into_sparse():
+    """(reference: test_indexing_into_sparse:208)"""
+    grid = Grid(shape=(4, 4))
+    sf = SparseTimeFunction(name='sf', grid=grid, npoint=1, nt=10)
+    sf.data[1:-1, 0] = np.arange(8)
+    assert np.all(np.asarray(sf.data)[1:-1, 0] == np.arange(8))
+
+
+@pytest.mark.parametrize('topology', [(2, 2), (4, 2)])
+def test_sharded_indexing_matches_numpy(topology):
+    """The same indexing matrix on a sharded grid (reference:
+    test_data.py MPI classes)."""
+    ndev = int(np.prod(topology))
+    if len(jax.devices()) < ndev:
+        pytest.skip("not enough devices")
+    grid = Grid(shape=(16, 16))
+    grid._distributor = Distributor(grid, topology=topology,
+                                    devices=jax.devices()[:ndev])
+    u = TimeFunction(name='u', grid=grid, space_order=2)
+    ref = np.zeros((2, 16, 16), dtype=np.float32)
+
+    u.data[0, 1, 1] = 1.;          ref[0, 1, 1] = 1.
+    u.data[1, 2:-2, 2:-2] = 7.;    ref[1, 2:-2, 2:-2] = 7.
+    u.data[0, :, 5] = 3.;          ref[0, :, 5] = 3.
+    assert np.array_equal(np.asarray(u.data), ref)
+    assert np.array_equal(np.asarray(u.data[0, 3::-1, 2]), ref[0, 3::-1, 2])
+    assert np.array_equal(np.asarray(u.data[1, ::3, 1:7]), ref[1, ::3, 1:7])
+    assert np.array_equal(np.asarray(u.data[0, [1, 5, 9], 5]),
+                          ref[0, [1, 5, 9], 5])
+    assert float(u.data.max()) == ref.max()
+    assert float(u.data.sum()) == ref.sum()
+    assert u.data[0, -15, -15] == ref[0, -15, -15]
