@@ -193,22 +193,53 @@ def _target_prev(eq, bufs, t, direction, params=None):
     return buf
 
 
+class _FullStrips:
+    """Hoisted loop-invariant border strips expanding a sole-writer plain
+    write to the FULL allocated buffer: the per-step write then needs no
+    (dynamic-)update-slice at all — the producing fusion's output simply
+    replaces the donated carry buffer in place.  ``axes`` is a list of
+    (axis, left, right) from innermost to outermost; inner axes' strips
+    already span the axes expanded before them."""
+
+    def __init__(self, axes):
+        self.axes = axes
+
+
+def _expand_full_write(val, fs, jnp):
+    for ax, left, right in fs.axes:
+        parts = []
+        if left is not None:
+            parts.append(left)
+        parts.append(val)
+        if right is not None:
+            parts.append(right)
+        if len(parts) > 1:
+            val = jnp.concatenate(parts, axis=ax)
+    return val
+
+
 def _align_lane_write(val, slices, strip, zext, row_idx, jnp):
     """Expand the written z-range to the full allocated lane extent using
-    hoisted loop-invariant halo ``strip``s stacked per canonical row (see
-    build_runner._hoist_strips); ``row_idx`` (traced) selects the row.
-    Returns (val, slices) with a lane-aligned last-dim slice — a z-offset
-    DUS costs a cross-lane rotation of the whole buffer otherwise."""
+    hoisted loop-invariant halo ``strip``s (see build_runner._hoist_strips).
+    For stepping targets the strips are stacked per canonical row and
+    ``row_idx`` (traced) selects the row; for plain (timeless) targets
+    ``row_idx`` is None and the strips are direct arrays.  Returns
+    (val, slices) with a lane-aligned last-dim slice — a z-offset DUS
+    costs a cross-lane rotation of the whole buffer otherwise."""
     import jax
+
+    def _row(s):
+        if row_idx is None:
+            return s
+        return jax.lax.dynamic_index_in_dim(s, row_idx, 0, keepdims=False)
+
     left, right = strip
     parts = []
     if left is not None:
-        parts.append(jax.lax.dynamic_index_in_dim(left, row_idx, 0,
-                                                  keepdims=False))
+        parts.append(_row(left))
     parts.append(val)
     if right is not None:
-        parts.append(jax.lax.dynamic_index_in_dim(right, row_idx, 0,
-                                                  keepdims=False))
+        parts.append(_row(right))
     if len(parts) > 1:
         val = jnp.concatenate(parts, axis=-1)
     return val, slices[:-1] + (slice(0, zext),)
@@ -304,6 +335,11 @@ def _exec_dense(eq, bufs, params, t, direction, strips=None):
         return cur[slices]
 
     val = _finalize_val(eq, val, _current, ctx, region_shape, buf.dtype, jnp)
+
+    strip = strips.get(id(eq)) if strips else None
+    if tidx is None and isinstance(strip, _FullStrips):
+        out[name] = _expand_full_write(val, strip, jnp)
+        return out
 
     def _write(b):
         if tidx is None:
@@ -565,6 +601,61 @@ def build_runner(schedule, write_names, stepping_info=None, errctl=None,
     direction = schedule.direction
     forward = direction >= 0
 
+    # step-local compiler temporaries: recomputed every step and only
+    # read AFTER their write within the same step, so they need no loop
+    # carry slot (donated HBM buffer).  Leaving them as in-step values
+    # frees XLA/MSA to schedule their lifetime (measured 2.91 -> 2.02
+    # ms/step on a 25-tap consumer of one 51 MB temp at TTI-like sizes,
+    # experiments/stencil_probe11.py).  Reference analog: CIRE Array
+    # temporaries are block-scoped in the generated C, not kernel
+    # arguments (passes/clusters/aliases.py lower_schedule).
+    local_names = set()
+    if exchange is None and lane_strips and not shard_spec:
+        writers = {}
+        for it in schedule.all_items:
+            if isinstance(it, LoweredEq):
+                nm = it.target.name
+                writers[nm] = writers.get(nm, 0) + 1
+            elif isinstance(it, LoweredSparse) and it.kind == 'inject':
+                nm = it.field.name
+                writers[nm] = writers.get(nm, 0) + 1
+
+        def _reads_of(it):
+            from ..types.basic import retrieve_functions
+            out = set()
+            exprs = []
+            if isinstance(it, LoweredEq):
+                exprs = [it.rhs] + ([it.condition]
+                                    if it.condition is not None else [])
+            elif isinstance(it, LoweredSparse):
+                exprs = [it.expr]
+            for e in exprs:
+                for a in retrieve_functions(e):
+                    out.add(a.function.name)
+            if isinstance(it, LoweredSparse):
+                out.add(it.sparse.name)          # coords / own buffers
+                if it.kind == 'inject':
+                    out.add(it.field.name)       # read-modify-write
+            return out
+
+        outside_reads = set()
+        for it in tuple(schedule.prologue) + tuple(schedule.epilogue):
+            outside_reads |= _reads_of(it)
+
+        seen_reads = set()
+        for it in schedule.body:
+            if (isinstance(it, LoweredEq) and it.time_kind is None
+                    and it.time_dep
+                    and getattr(it.target, '_compiler_temp', False)
+                    and not it.increment and it.reduction is None
+                    and it.condition is None
+                    and writers.get(it.target.name) == 1
+                    and it.target.name not in seen_reads
+                    and it.target.name not in outside_reads):
+                local_names.add(it.target.name)
+            seen_reads |= _reads_of(it)
+    carry_names = tuple(n for n in write_names if n not in local_names)
+
     # schedule-section scope names, matching Operator._estimate_flops'
     # enumeration: the jax.named_scope tags flow into the HLO ops'
     # tf_op metadata, so the measured profiler (operator/trace_profile)
@@ -629,6 +720,49 @@ def build_runner(schedule, write_names, stepping_info=None, errctl=None,
             left = rows[..., :zsl.start] if zsl.start > 0 else None
             right = rows[..., zsl.stop:] if zsl.stop < zext else None
             strips[id(it)] = (left, right)
+        # plain (timeless) dense targets — CIRE derivative temporaries,
+        # interpolation dense temps: when exactly one schedule item
+        # writes the function, every lane outside its (fixed) write
+        # region is loop-constant, so the same full-lane alignment
+        # applies (the standalone z-offset DUS of a 192^3 TTI temp
+        # measured ~0.75 ms/step of cross-lane rotation).  Skipped under
+        # a halo-exchange hook: the exchange refreshes ghost lanes the
+        # hoisted strips would stomp.
+        if exchange is None:
+            writers = {}
+            for it in tuple(schedule.body) + tuple(schedule.epilogue):
+                if isinstance(it, LoweredEq):
+                    nm = it.target.name
+                    writers[nm] = writers.get(nm, 0) + 1
+                elif isinstance(it, LoweredSparse) and it.kind == 'inject':
+                    nm = it.field.name
+                    writers[nm] = writers.get(nm, 0) + 1
+            for it in schedule.body:
+                if not isinstance(it, LoweredEq) or it.time_kind is not None:
+                    continue
+                fn = it.target
+                if fn.name not in raw_bufs or writers.get(fn.name) != 1:
+                    continue
+                buf = raw_bufs[fn.name]
+                slices = _write_region_slices(it)
+                if len(slices) != buf.ndim:
+                    continue
+                ws = list(slices)
+                axes = []
+                for ax in range(buf.ndim - 1, -1, -1):
+                    sl = ws[ax]
+                    ext = buf.shape[ax]
+                    if sl.start == 0 and sl.stop == ext:
+                        continue
+                    pre = tuple(ws[:ax])
+                    left = buf[pre + (slice(0, sl.start),)] \
+                        if sl.start > 0 else None
+                    right = buf[pre + (slice(sl.stop, ext),)] \
+                        if sl.stop < ext else None
+                    axes.append((ax, left, right))
+                    ws[ax] = slice(0, ext)
+                if axes:
+                    strips[id(it)] = _FullStrips(axes)
         return strips
 
     def run(wbufs, rbufs, params, time_m, time_M):
@@ -655,7 +789,7 @@ def build_runner(schedule, write_names, stepping_info=None, errctl=None,
                     merged = exchange(merged, t)
                 merged = _exec_items(schedule.body, merged, params, t,
                                      geom_cache, strips=strips)
-                return {k: merged[k] for k in write_names}
+                return {k: merged[k] for k in carry_names}
 
             if errctl is None:
                 body = step
@@ -694,7 +828,7 @@ def build_runner(schedule, write_names, stepping_info=None, errctl=None,
                     return jax.lax.cond(err, _halt, _go, carry)
 
             n = time_M - time_m + 1
-            carry0 = {k: bufs[k] for k in write_names}
+            carry0 = {k: bufs[k] for k in carry_names}
             if errctl is not None:
                 carry0 = {**carry0, '__err__': jnp.bool_(False)}
             carry = jax.lax.fori_loop(0, n, body, carry0)
@@ -702,9 +836,10 @@ def build_runner(schedule, write_names, stepping_info=None, errctl=None,
             bufs = {**bufs, **carry}
 
         bufs = _exec_items(schedule.epilogue, bufs, params, None, geom_cache)
-        out = {k: bufs[k] for k in write_names}
+        out = {k: bufs[k] for k in write_names if k not in local_names}
         if schedule.body and errctl is not None:
             out['__err__'] = err_flag
         return out
 
+    run.local_names = frozenset(local_names)
     return run

@@ -85,6 +85,7 @@ class _Extractor:
         fn = Function(name=f'cire{len(self.temps)}', grid=self.grid,
                       space_order=self.space_order, dtype=self.dtype,
                       staggered=staggered)
+        type(fn)._compiler_temp = True
         self.memo[key] = (fn, radius)
         self.temps.append((fn, expr, radius))
         return fn

@@ -125,10 +125,99 @@ def _collect(expr, out, body_written=()):
         _collect(a, out, body_written)
 
 
-def hoist_invariants(schedule):
+def _hoist_shifted_transcendentals(schedule, body_dense, body_written,
+                                   existing):
+    """Pointwise transcendentals of shifted invariant accesses —
+    ``g(f(x+δ))`` with ``g`` ∈ sin/cos/... and ``f`` a time-invariant
+    dense function at integer index shifts (TTI's rotated derivatives
+    evaluate sin/cos of the tilt fields at every tap position:
+    reference examples/seismic/tti/operators.py trig_func) — hoist
+    ``t = g(f)`` once into the prologue and rewrite every occurrence as
+    the shifted read ``t(x+δ)``: elementwise application commutes with
+    index shifts, so the rewrite is exact.  The per-expression cost
+    model below cannot catch these (each shifted variant is a distinct,
+    individually cheap subexpression; together they put ~19
+    transcendentals per point per section into a 3-D TTI body fusion)."""
+    from ..types.dense import Function
+
+    occ = {}
+    for eq in body_dense:
+        eq_ext = max([-a for (a, b) in eq.region] + [0])
+        for node in sympy.preorder_traversal(sympy.sympify(eq.rhs)):
+            if not isinstance(node, _EXPENSIVE) or len(node.args) != 1:
+                continue
+            a = node.args[0]
+            fn = getattr(a, 'function', None)
+            if fn is None or getattr(fn, 'is_SparseFunction', False) \
+                    or getattr(fn, 'grid', None) is None:
+                continue
+            if fn.name in body_written or _has_time(a):
+                continue
+            dims = tuple(fn.space_dimensions)
+            if dims != tuple(fn.grid.dimensions) or \
+                    len(a.args) != len(dims):
+                continue
+            sh = 0
+            ok = True
+            for d, arg in zip(dims, a.args):
+                delta = sympy.sympify(arg) - d
+                if not getattr(delta, 'is_number', False):
+                    ok = False
+                    break
+                fdelta = float(delta)
+                if not fdelta.is_integer():
+                    ok = False
+                    break
+                sh = max(sh, abs(int(fdelta)))
+            if not ok:
+                continue
+            key = (node.func, fn.name)
+            occ.setdefault(key, []).append((node, a, fn, eq_ext + sh))
+
+    mapping = {}
+    new_prologue = []
+    for (g, fname), hits in occ.items():
+        if len(hits) < 2:
+            continue
+        fn = hits[0][2]
+        cap = min(h[0] for h in fn.halo) if fn.halo else 0
+        kept = [h for h in hits if h[3] <= cap]
+        if len(kept) < 2:
+            continue
+        E = max(h[3] for h in kept)
+        name = f"r{next(_ctr)}"
+        while name in existing:
+            name = f"r{next(_ctr)}"
+        existing.add(name)
+        temp = Function(name=name, grid=fn.grid, space_order=E,
+                        dtype=fn.dtype)
+        region = tuple((-E, n + E) for n in fn.grid.shape)
+        le = LoweredEq(temp.function, None, None, region, g(fn),
+                       time_dep=False)
+        le.internal = True
+        new_prologue.append(le)
+        for node, a, _, _ in kept:
+            mapping[node] = temp.function.func(*a.args)
+
+    if not mapping:
+        return
+    for eq in body_dense:
+        eq.rhs = sympy.sympify(eq.rhs).xreplace(mapping)
+    schedule.prologue = schedule.prologue + new_prologue
+
+
+def hoist_invariants(schedule, trig_taps=False):
     """Extract time-invariant, flop-heavy subexpressions of the loop-body
     dense equations into grid temporaries computed once in the prologue.
-    Mutates and returns ``schedule``."""
+    Mutates and returns ``schedule``.
+
+    ``trig_taps`` additionally hoists transcendentals of *shifted*
+    invariant accesses (opt option 'hoist-trig-taps').  Default OFF:
+    measured on v5e 192³ TTI so8 it REGRESSES 10.75 -> 13.33 ms/step —
+    the in-fusion trig is fully hidden under the HBM streams (the VPU
+    idles waiting on memory), while the rewrite adds two extra
+    full-grid tap streams per section.  Kept as a knob for
+    compute-bound configurations (very high order / small grids)."""
     from ..types.dense import Function
 
     body_dense = [it for it in schedule.body if isinstance(it, LoweredEq)]
@@ -136,11 +225,6 @@ def hoist_invariants(schedule):
         return schedule
 
     body_written = {eq.target.name for eq in body_dense}
-    candidates = {}
-    for eq in body_dense:
-        _collect(eq.rhs, candidates, body_written)
-    if not candidates:
-        return schedule
 
     existing = set()
     for it in schedule.all_items:
@@ -149,6 +233,16 @@ def hoist_invariants(schedule):
         tgt = getattr(it, 'target', None)
         if tgt is not None:
             existing.add(tgt.name)
+
+    if trig_taps:
+        _hoist_shifted_transcendentals(schedule, body_dense, body_written,
+                                       existing)
+
+    candidates = {}
+    for eq in body_dense:
+        _collect(eq.rhs, candidates, body_written)
+    if not candidates:
+        return schedule
 
     # hoisted temporaries must cover the widest consumer write region —
     # CIRE temporaries write into the halo (negative region starts)

@@ -476,4 +476,4 @@ def tti_setup(shape=(50, 50), spacing=(15., 15.), tn=500., space_order=4,
                          theta=theta, phi=phi, bcs="damp")
     geometry = setup_geometry(model, tn)
     return AnisotropicWaveSolver(model, geometry, space_order=space_order,
-                                 kernel=kernel)
+                                 kernel=kernel, **kwargs)

@@ -63,5 +63,7 @@ def acoustic_setup(shape=(50, 50, 50), spacing=(15., 15., 15.), tn=500.,
                                                        'linear'),
                               r=kwargs.get('r', 1))
     solver = AcousticWaveSolver(model, geometry, kernel=kernel,
-                                space_order=space_order)
+                                space_order=space_order,
+                                **{k: v for k, v in kwargs.items()
+                                   if k in ('opt',)})
     return solver

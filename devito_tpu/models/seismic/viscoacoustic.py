@@ -353,4 +353,5 @@ def viscoacoustic_setup(shape=(50, 50), spacing=(15., 15.), tn=500.,
                          nbl=nbl, dtype=dtype, bcs="mask")
     geometry = setup_geometry(model, tn)
     return ViscoacousticWaveSolver(model, geometry, space_order=space_order,
-                                   kernel=kernel, time_order=time_order)
+                                   kernel=kernel, time_order=time_order,
+                                   **kwargs)

@@ -142,4 +142,4 @@ def viscoelastic_setup(shape=(50, 50), spacing=(15., 15.), tn=500.,
                          qs=qs, b=b, nbl=nbl, dtype=dtype, bcs="mask")
     geometry = setup_geometry(model, tn)
     return ViscoelasticWaveSolver(model, geometry,
-                                  space_order=space_order)
+                                  space_order=space_order, **kwargs)

@@ -104,6 +104,7 @@ class Interpolation:
         tmp = Function(name=f'{self.sparse.name}_itmp', grid=grid,
                        space_order=self.sparse.interpolator.max_radius,
                        dtype=accs[0].function.dtype)
+        type(tmp)._compiler_temp = True
         region = tuple((0, n) for n in grid.shape)
         out.append(LoweredEq(tmp.function, None, None, region, expr,
                              time_dep=True))

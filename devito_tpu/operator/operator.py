@@ -81,7 +81,9 @@ class Operator:
             # prologue temporaries (reference: Lift + CIRE 'invariants',
             # passes/clusters/misc.py:13, aliases.py:34)
             from ..ir.optimize import hoist_invariants
-            hoist_invariants(self._schedule)
+            hoist_invariants(self._schedule,
+                             trig_taps=self._opt_options.get(
+                                 'hoist-trig-taps', False))
         self._collect()
         errctl = None
         if self._opt_options.get('errctl') == 'max':
@@ -340,7 +342,9 @@ class Operator:
             sdt = self._opt_options.get('storage-dtype')
             scope = self._opt_options.get('storage-dtype-scope', 'fields')
             narrow = bool(sdt) and (
-                (fn.is_TimeFunction and name in self._writes)
+                ((fn.is_TimeFunction or getattr(fn, '_compiler_temp',
+                                                False))
+                 and name in self._writes)
                 or scope == 'all')
             if narrow:
                 fn.set_storage_dtype(sdt)
@@ -1088,6 +1092,16 @@ class Operator:
             compiled = self._compiled_sharded(hr, wbufs, rbufs, params,
                                               tm, tM)
         else:
+            # step-local compiler temporaries never leave the loop body
+            # (compiler/executor.py local_names): feed them as read-only
+            # inputs so jit's donation doesn't flag unusable buffers
+            runner = getattr(self, '_runner_sel', None) or self._runner
+            local = getattr(runner, 'local_names', frozenset())
+            if local:
+                wbufs, rbufs = dict(wbufs), dict(rbufs)
+                for k in list(wbufs):
+                    if k in local:
+                        rbufs[k] = wbufs.pop(k)
             compiled, _ = self._compiled(wbufs, rbufs, params, tm, tM)
 
         trace_dir = configuration['profile-dir']

@@ -65,6 +65,11 @@ class DiscreteFunction(AbstractFunction):
     # e.g. sparse functions — inherit the padded layout)
     _dev_layout = 'padded'
 
+    # compiler-generated temporary (CIRE derivative temps, interpolation
+    # dense temps): written every step and never user-facing, so the
+    # 'storage-dtype' narrowing applies to them like to wavefields
+    _compiler_temp = False
+
     @classmethod
     def __init_metadata__(cls, name=None, grid=None, shape=None,
                           dimensions=None, dtype=None, space_order=1,

@@ -7,7 +7,7 @@ timeline + op-category breakdown) instead of guessing from the cost
 model.
 
 Usage (on the TPU chip):
-    python experiments/tti_sections.py [n] [so] [steps]
+    python experiments/tti_sections.py [n] [so] [steps] [bf16]
 """
 
 import sys
@@ -21,13 +21,18 @@ def main():
     so = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     nsteps = int(sys.argv[3]) if len(sys.argv) > 3 else 32
 
+    import tempfile
     from devito_tpu import configuration
     configuration['profiling'] = 'measured'
+    configuration['profile-dir'] = tempfile.mkdtemp(prefix='tti_sections_')
     from devito_tpu.models.seismic.tti import tti_setup
 
     shape = (n,) * 3
+    opt = 'advanced'
+    if len(sys.argv) > 4 and sys.argv[4] == 'bf16':
+        opt = ('advanced', {'storage-dtype': 'bfloat16'})
     solver = tti_setup(shape=shape, spacing=(10.,) * 3, tn=100.,
-                       space_order=so, nbl=8, nlayers=2)
+                       space_order=so, nbl=8, nlayers=2, opt=opt)
     op = solver.op_fwd(save=None)
     t0 = time.perf_counter()
     solver.forward(time_M=1)
@@ -38,9 +43,7 @@ def main():
     wall = time.perf_counter() - t0
     print(f"{nsteps} steps wall {wall:.3f}s", flush=True)
     labels = getattr(summary, 'labels', {})
-    for k, v in sorted(summary.timings.items(),
-                       key=lambda kv: -kv[1].time):
-        e = v
+    for k, e in sorted(summary.items(), key=lambda kv: -kv[1].time):
         print(f"  {k:12s} {labels.get(k, ''):34s} {e.time * 1e3:9.2f} ms "
               f"({e.time / nsteps * 1e3:7.3f} ms/step)")
     cats = getattr(op, '_measured_cats', None)
@@ -50,6 +53,21 @@ def main():
             if v > 0:
                 print(f"  {c:28s} {v * 1e3:9.2f} ms "
                       f"({v / nsteps * 1e3:7.3f} ms/step)")
+    tdir = configuration['profile-dir']
+    if tdir:
+        from devito_tpu.operator.trace_profile import device_events
+        evs = device_events(tdir)
+        if evs:
+            agg = {}
+            for name, secs, args in evs:
+                key = (name.split('.')[0],
+                       str(args.get('tf_op', ''))[:48])
+                n, tot = agg.get(key, (0, 0.0))
+                agg[key] = (n + 1, tot + secs)
+            print("top device ops:")
+            for (base, tf), (n, tot) in sorted(
+                    agg.items(), key=lambda kv: -kv[1][1])[:24]:
+                print(f"  {tot * 1e3:9.2f} ms  x{n:5d}  {base:28s} {tf}")
 
 
 if __name__ == '__main__':
