@@ -218,31 +218,42 @@ def _expand_full_write(val, fs, jnp):
     return val
 
 
-def _align_lane_write(val, slices, strip, zext, row_idx, jnp):
-    """Expand the written z-range to the full allocated lane extent using
-    hoisted loop-invariant halo ``strip``s (see build_runner._hoist_strips).
-    For stepping targets the strips are stacked per canonical row and
-    ``row_idx`` (traced) selects the row; for plain (timeless) targets
-    ``row_idx`` is None and the strips are direct arrays.  Returns
-    (val, slices) with a lane-aligned last-dim slice — a z-offset DUS
-    costs a cross-lane rotation of the whole buffer otherwise."""
+class _RowStrips:
+    """Hoisted loop-invariant halo strips for a STEPPING write, stacked
+    per canonical buffer row: ``axes`` is a list of (space axis, left,
+    right) from innermost to outermost; strips of inner axes already
+    span the axes expanded before them.  Expanding the write to the full
+    lane (z) and sublane (y) extents keeps the per-step
+    dynamic-update-slice tile-aligned — a z-offset DUS costs a
+    cross-lane rotation, and a y-offset not a multiple of the 8-row
+    sublane (e.g. space_order=4 halos) forces a standalone rotated DUS
+    (measured ~0.23 ms/step per elastic field at 176^3)."""
+
+    def __init__(self, axes):
+        self.axes = axes
+
+
+def _align_lane_write(val, slices, strip, buf_shape, row_idx, jnp):
+    """Expand a stepping write's misaligned axes to their full allocated
+    extents using hoisted ``_RowStrips`` (``row_idx`` — traced — selects
+    the canonical row).  Returns the expanded (val, slices)."""
     import jax
 
     def _row(s):
-        if row_idx is None:
-            return s
         return jax.lax.dynamic_index_in_dim(s, row_idx, 0, keepdims=False)
 
-    left, right = strip
-    parts = []
-    if left is not None:
-        parts.append(_row(left))
-    parts.append(val)
-    if right is not None:
-        parts.append(_row(right))
-    if len(parts) > 1:
-        val = jnp.concatenate(parts, axis=-1)
-    return val, slices[:-1] + (slice(0, zext),)
+    slices = list(slices)
+    for ax, left, right in strip.axes:
+        parts = []
+        if left is not None:
+            parts.append(_row(left))
+        parts.append(val)
+        if right is not None:
+            parts.append(_row(right))
+        if len(parts) > 1:
+            val = jnp.concatenate(parts, axis=ax)
+        slices[ax] = slice(0, buf_shape[ax + 1])
+    return val, tuple(slices)
 
 
 def _exec_dense(eq, bufs, params, t, direction, strips=None):
@@ -314,7 +325,7 @@ def _exec_dense(eq, bufs, params, t, direction, strips=None):
         strip = strips.get(id(eq)) if strips else None
         if not val_fullz and strip is not None:
             val, slices = _align_lane_write(val, slices, strip,
-                                            buf.shape[-1], row_idx, jnp)
+                                            buf.shape, row_idx, jnp)
         starts = (row_idx,) + tuple(np.int32(sl.start) for sl in slices)
         out[name] = jax.lax.dynamic_update_slice(buf, val[None], starts)
         return out
@@ -467,12 +478,109 @@ def _sparse_geometry(sf, bufs, params, shard_spec=None):
     return idxs, W, own
 
 
+def _interp_separable(item, sf, bufs, params, t, direction):
+    """Tensor-product interpolation: per-axis MXU contractions instead
+    of pointwise corner gathers (operations/separable.py — the weight
+    matrices ship as ``<name>_sepM<j>`` runtime buffers, packed by
+    Operator._prepare when the coordinates factorize).  Returns the
+    (P,) interpolated values, or None when the sampled expression is
+    not a linear combination of affine dense accesses."""
+    import jax.numpy as jnp
+    from ..operations.separable import linear_terms
+    from ..ir.lowering import time_access_of, space_offsets_of
+
+    ndim = len(sf.grid.dimensions)
+    Ms = [bufs.get(f'{sf.name}_sepM{j}') for j in range(ndim)]
+    terms = linear_terms(item.expr)
+    if terms is None:
+        return None
+    shape = sf.grid.shape
+    letters_in = 'abcd'[:ndim]
+    letters_out = 'pqrs'[:ndim]
+    spec = (letters_in + ',' +
+            ','.join(f'{i}{o}' for i, o in zip(letters_in, letters_out))
+            + '->' + letters_out)
+    res = None
+    for coeff, a in terms:
+        fn = a.function
+        try:
+            offs = space_offsets_of(a)
+        except Exception:
+            return None
+        if len(offs) != ndim:
+            return None
+        tk, toff = time_access_of(a)
+        arr = _resolve_time_indexed(bufs, fn, tk, toff, t, direction,
+                                    params=params)
+        if arr.ndim != ndim:
+            return None
+        slices = []
+        for (hl, hr), off, n, ext in zip(fn.dev_halo, offs, shape,
+                                         arr.shape):
+            s = hl + off
+            if s < 0 or s + n > ext:
+                return None  # offset tap outside the device halo
+            slices.append(slice(s, s + n))
+        sub = arr[tuple(slices)]
+        val = jnp.einsum(spec, sub, *Ms,
+                         preferred_element_type=Ms[0].dtype,
+                         optimize='optimal').reshape(-1)
+        res = coeff * val if res is None else res + coeff * val
+    code = bufs.get(f'{sf.name}_sepcode')
+    if code is not None:
+        res = res[code]
+    return res
+
+
+def _write_interp(item, sf, res, matrix, bufs, out, params, t, jnp):
+    """Store the (P,) interpolated values into the sparse rows."""
+    if matrix is not None:
+        # channels = M^T @ per-location values
+        res = jnp.asarray(matrix).T @ res
+    buf = bufs[sf.name]
+    res = jnp.broadcast_to(res, buf.shape[-1:]).astype(buf.dtype)
+    if sf.is_SparseTimeFunction:
+        td = sf.dimensions[0]
+        factor = (td.factor or 1) if getattr(td, 'is_Conditional',
+                                             False) else 1
+        tidx = (t // factor if factor > 1 else t) + \
+            item.target_time_off
+
+        def _wr(b):
+            if item.increment:
+                return b.at[tidx, :].add(res)
+            return b.at[tidx, :].set(res)
+        if factor > 1:
+            # subsampled recording: fire every `factor`-th step
+            import jax
+            buf = jax.lax.cond(jnp.mod(t, factor) == 0, _wr,
+                               lambda b: b, buf)
+        else:
+            buf = _wr(buf)
+    else:
+        buf = buf.at[:].set(res) if not item.increment \
+            else buf.at[:].add(res)
+    out[sf.name] = buf
+    return out
+
+
 def _exec_sparse(item, bufs, params, t, geom_cache, direction,
                  shard_spec=None):
     import jax.numpy as jnp
     from .translate import translate, SparseCtx
 
     sf = item.sparse
+    matrix = getattr(type(sf), '_matrix', None)
+    out = dict(bufs)
+
+    if (item.kind == 'interp' and matrix is None and not shard_spec
+            and bufs.get(f'{sf.name}_sepM0') is not None
+            and bufs.get(f'{sf.name}_own') is None):
+        res = _interp_separable(item, sf, bufs, params, t, direction)
+        if res is not None:
+            return _write_interp(item, sf, res, None, bufs, out, params,
+                                 t, jnp)
+
     key = sf.name
     if key not in geom_cache:
         geom_cache[key] = _sparse_geometry(sf, bufs, params,
@@ -483,9 +591,7 @@ def _exec_sparse(item, bufs, params, t, geom_cache, direction,
     ctx = SparseCtx(bufs, params, corner_idx, W, sf, t=t,
                     direction=direction, cz=cz, own=own)
     val = translate(item.expr, ctx)  # (C, P) or (P,) or scalar
-    matrix = getattr(type(sf), '_matrix', None)
 
-    out = dict(bufs)
     if item.kind == 'interp':
         if hasattr(val, 'ndim') and val.ndim == 2:
             res = jnp.sum(W * val, axis=0)
@@ -503,33 +609,8 @@ def _exec_sparse(item, bufs, params, t, geom_cache, direction,
             axes = tuple(a for (a, n, l) in shard_spec.values() if n > 1)
             if axes:
                 res = jax.lax.psum(res, axes)
-        if matrix is not None:
-            # channels = M^T @ per-location values
-            res = jnp.asarray(matrix).T @ res
-        buf = bufs[sf.name]
-        res = jnp.broadcast_to(res, buf.shape[-1:]).astype(buf.dtype)
-        if sf.is_SparseTimeFunction:
-            td = sf.dimensions[0]
-            factor = (td.factor or 1) if getattr(td, 'is_Conditional',
-                                                 False) else 1
-            tidx = (t // factor if factor > 1 else t) + \
-                item.target_time_off
-
-            def _wr(b):
-                if item.increment:
-                    return b.at[tidx, :].add(res)
-                return b.at[tidx, :].set(res)
-            if factor > 1:
-                # subsampled recording: fire every `factor`-th step
-                import jax
-                buf = jax.lax.cond(jnp.mod(t, factor) == 0, _wr,
-                                   lambda b: b, buf)
-            else:
-                buf = _wr(buf)
-        else:
-            buf = buf.at[:].set(res) if not item.increment \
-                else buf.at[:].add(res)
-        out[sf.name] = buf
+        return _write_interp(item, sf, res, matrix, bufs, out, params,
+                             t, jnp)
     else:  # inject
         field = item.field
         sidx = tuple(corner_idx[d.name] + hl
@@ -708,18 +789,47 @@ def build_runner(schedule, write_names, stepping_info=None, errctl=None,
             if fn.name not in raw_bufs:
                 continue
             sshape = fn.shape[1:] if fn.is_TimeFunction else fn.shape
-            if it.region[-1] != (0, sshape[-1]):
-                continue  # sub-domain z write: halo lanes not provably dead
-            slices = _write_region_slices(it)
-            zsl = slices[-1]
             buf = raw_bufs[fn.name]  # canonical (m, ...) array
-            zext = buf.shape[-1]
-            if zsl.start == 0 and zsl.stop == zext:
-                continue  # already aligned
-            rows = buf[(slice(None),) + slices[:-1] + (slice(None),)]
-            left = rows[..., :zsl.start] if zsl.start > 0 else None
-            right = rows[..., zsl.stop:] if zsl.stop < zext else None
-            strips[id(it)] = (left, right)
+            slices = _write_region_slices(it)
+            nsp = len(slices)
+            ws = list(slices)
+            axes = []
+            # innermost (lane, z) axis first, then the sublane (y) axis;
+            # each only when the eq writes the FULL domain range of that
+            # dim (halo lanes then provably dead — write regions are
+            # domain-bounded) and the device offset is tile-misaligned
+            import os
+            axq = [(nsp - 1, 128)]
+            if (exchange is None and shard_spec is None
+                    and os.environ.get('DEVITO_TPU_SUBLANE_STRIPS',
+                                       '1') != '0'):
+                # sublane expansion only on the single-chip path: under
+                # a halo exchange (hook or scheduled items) the wider
+                # DUS re-fuses the step and drifts off the serial
+                # trajectory at the 1e-6 level the sharded-parity
+                # tests pin
+                axq.append((nsp - 2, 8))
+            for ax, quantum in axq:
+                if ax < 0:
+                    continue
+                sl = ws[ax]
+                ext = buf.shape[ax + 1]
+                if sl.start == 0 and sl.stop == ext:
+                    continue  # already aligned
+                if it.region[ax] != (0, sshape[ax]):
+                    continue  # sub-domain write: halo not provably dead
+                if ax != nsp - 1 and sl.start % quantum == 0:
+                    continue  # sublane offset already aligned
+                pre = (slice(None),) + tuple(ws[:ax])
+                post = tuple(ws[ax + 1:])
+                left = buf[pre + (slice(0, sl.start),) + post] \
+                    if sl.start > 0 else None
+                right = buf[pre + (slice(sl.stop, ext),) + post] \
+                    if sl.stop < ext else None
+                axes.append((ax, left, right))
+                ws[ax] = slice(0, ext)
+            if axes:
+                strips[id(it)] = _RowStrips(axes)
         # plain (timeless) dense targets — CIRE derivative temporaries,
         # interpolation dense temps: when exactly one schedule item
         # writes the function, every lane outside its (fixed) write
@@ -755,9 +865,10 @@ def build_runner(schedule, write_names, stepping_info=None, errctl=None,
                     if sl.start == 0 and sl.stop == ext:
                         continue
                     pre = tuple(ws[:ax])
-                    left = buf[pre + (slice(0, sl.start),)] \
+                    post = tuple(ws[ax + 1:])
+                    left = buf[pre + (slice(0, sl.start),) + post] \
                         if sl.start > 0 else None
-                    right = buf[pre + (slice(sl.stop, ext),)] \
+                    right = buf[pre + (slice(sl.stop, ext),) + post] \
                         if sl.stop < ext else None
                     axes.append((ax, left, right))
                     ws[ax] = slice(0, ext)

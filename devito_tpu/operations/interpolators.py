@@ -96,7 +96,9 @@ class Interpolation:
         npts = self.sparse.npoint or 0
         accs = [a for a in retrieve_functions(expr)
                 if not a.function.is_SparseFunction]
-        if len(accs) < 2 or npts * (2 ** max(
+        import os
+        min_accs = int(os.environ.get('DEVITO_TPU_DENSIFY_MIN', '2'))
+        if len(accs) < min_accs or npts * (2 ** max(
                 len(self.sparse.grid.dimensions), 1)) < 4096:
             return expr
         grid = self.sparse.grid

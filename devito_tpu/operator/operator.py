@@ -10,6 +10,7 @@ on-disk JIT cache, arch/compiler.py:376). Written buffers are donated to
 XLA so time marching updates HBM in place.
 """
 
+import os
 import time as _time
 from collections import OrderedDict
 
@@ -647,6 +648,34 @@ class Operator:
         if self._sparse and self._grid is not None:
             for s, v in self._grid.spacing_map.items():
                 params.setdefault(s.name, float(v))
+
+        # separable (tensor-product) interpolation: factorize receiver
+        # coordinates host-side; per-axis weight matrices ship as runtime
+        # buffers so the jitted step contracts on the MXU instead of
+        # gathering pointwise (operations/separable.py; a 36k-point
+        # surface-grid gather dominated the 192^3 TTI step)
+        distributed = (self._grid is not None
+                       and self._grid.distributor is not None)
+        if (self._sparse and not distributed
+                and os.environ.get('DEVITO_TPU_SEPARABLE', '1') != '0'):
+            from ..operations.separable import separable_geometry
+            import jax.numpy as jnp
+            interp_names = {it.sparse.name
+                            for part in (self._schedule.prologue,
+                                         self._schedule.body,
+                                         self._schedule.epilogue)
+                            for it in part
+                            if getattr(it, 'kind', None) == 'interp'}
+            for name, fn in bound.items():
+                if name not in interp_names or not fn.is_SparseFunction:
+                    continue
+                sep = separable_geometry(fn, params)
+                if sep is None:
+                    continue
+                for j, M in enumerate(sep['M']):
+                    rbufs[f'{name}_sepM{j}'] = jnp.asarray(M)
+                if sep['code'] is not None:
+                    rbufs[f'{name}_sepcode'] = jnp.asarray(sep['code'])
 
         # time bounds
         tm_d, tM_d = self._default_time_bounds()

@@ -167,6 +167,13 @@ class DiscreteFunction(AbstractFunction):
         if not s:
             return s
         s = s[:-1] + (round_up(s[-1], 128),)
+        if len(s) >= 2:
+            # sublane axis: a non-multiple-of-8 extent leaves every
+            # (8, 128) tile row partial — XLA's layout assignment then
+            # reshuffles minor-to-major orders across the whole step
+            # graph (elastic at nbl=10: alloc y 188 = 23.5 tiles ran
+            # 18.6 ms/step vs 11.6 at an aligned extent)
+            s = s[:-2] + (round_up(s[-2], 8), s[-1])
         grid = type(self)._grid
         dist = grid.distributor if grid is not None else None
         if dist is not None and len(dist.topology) == len(s):
