@@ -174,6 +174,11 @@ class Derivative(Differentiable, sympy.Expr):
         return dict(self._x0)
 
     @property
+    def weights(self):
+        """Custom FD weights, or None (reference: Derivative.weights)."""
+        return self._weights
+
+    @property
     def T(self):
         """Transpose (adjoint) of this derivative: same weights, negated
         shifts (reference: Derivative.T — transpose mode for adjoints)."""
@@ -183,8 +188,10 @@ class Derivative(Differentiable, sympy.Expr):
                           weights=self._weights, method=self._method)
 
     def __call__(self, x0=None, fd_order=None, side=None, weights=None,
-                 method=None):
-        """Re-parameterize (reference: ``u.dx(x0=..., fd_order=...)``)."""
+                 method=None, w=None):
+        """Re-parameterize (reference: ``u.dx(x0=..., fd_order=...)``;
+        ``w=`` is the reference's alias for ``weights=``)."""
+        weights = weights if weights is not None else w
         newx0 = dict(self._x0)
         if x0 is not None:
             if isinstance(x0, dict):

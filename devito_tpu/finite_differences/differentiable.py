@@ -165,10 +165,20 @@ class Differentiable:
         return self.laplacian()
 
     def laplacian(self, shift=None, order=None, method='FD'):
+        """Sum of second derivatives; ``shift`` is a scalar or per-axis
+        tuple evaluating each term at ``d + shift_i`` (reference:
+        differentiable.py laplacian / make_shift_x0)."""
         from .derivative import Derivative
         dims = self.space_dimensions
         order = order or self.space_order
-        terms = [Derivative(self, (d, 2), fd_order=order) for d in dims]
+        terms = []
+        for i, d in enumerate(dims):
+            x0 = {}
+            if shift is not None:
+                s = shift[i] if isinstance(shift, (tuple, list)) else shift
+                x0 = {d: d + sympy.Rational(s)}
+            terms.append(Derivative(self, (d, 2), fd_order=order, x0=x0,
+                                    method=method))
         return Add(*terms)
 
     def biharmonic(self, weight=1):

@@ -53,6 +53,16 @@ class AbstractFunction(Differentiable, sympy.Function):
 
     def __new__(cls, *args, **kwargs):
         if cls._metadata_set:
+            if kwargs and not set(kwargs) <= {'evaluate', 'simplify'}:
+                # rebuild with overridden constructor kwargs (reference:
+                # u.func(name='v'), tests/test_rebuild.py — sympy's .func
+                # is this class, and sympy itself never re-applies with
+                # kwargs, so a kwargs call unambiguously means rebuild)
+                kw = dict(getattr(cls, '_constructor_kwargs', {}))
+                kw.update(kwargs)
+                base = cls.__mro__[1]
+                return base(**{k: v for k, v in kw.items()
+                               if v is not None or k in kwargs})
             # Re-application by sympy (subs/xreplace/rebuild): args are index
             # expressions; metadata lives on the class.
             obj = sympy.Function.__new__(cls, *args)

@@ -496,6 +496,17 @@ class TimeFunction(Function):
                           **kwargs):
         cls._time_order = time_order
         cls._save = save
+        dims = kwargs.get('dimensions')
+        if time_dim is None and dims:
+            # a leading time/stepping dim in `dimensions=` (the reference
+            # rebuild convention: u.func(dimensions=(t, x1, y1))) becomes
+            # the time dim; the rest are the space dims
+            dims = as_tuple(dims)
+            lead = dims[0]
+            if getattr(lead, 'is_Time', False) or \
+                    getattr(lead, 'is_Stepping', False):
+                time_dim = lead
+                kwargs['dimensions'] = dims[1:]
         cls._user_time_dim = time_dim
         super().__init_metadata__(**kwargs)
         cls._constructor_kwargs.update(time_order=time_order, save=save)
