@@ -152,7 +152,44 @@ def _resolve_time_indexed(bufs, fn, tk, toff, t, direction, params=None):
         factor = fn.dimensions[0].factor or 1
         return _upcast(jax.lax.dynamic_index_in_dim(
             buf, t // factor + toff, 0, keepdims=False), fn)
+    if tk == 'abs':
+        # absolute index: integer / runtime-Constant expression
+        idx = _eval_scalar(toff, params or {})
+        return _upcast(jax.lax.dynamic_index_in_dim(
+            buf, jnp_int32(idx), 0, keepdims=False), fn)
     raise CompilationError(f"Bad time access kind {tk}")
+
+
+def jnp_int32(v):
+    import jax.numpy as jnp
+    return jnp.asarray(v).astype(jnp.int32)
+
+
+def _eval_scalar(e, params):
+    """Evaluate a scalar sympy expression of runtime parameters into a
+    traced value (used for absolute time indices)."""
+    import sympy
+    e = sympy.sympify(e)
+    if e.is_Number:
+        return int(e) if e.is_Integer else float(e)
+    if isinstance(e, sympy.Symbol):
+        name = e.name
+        if name not in params:
+            raise CompilationError(f"Unknown runtime symbol {name}")
+        return params[name]
+    if e.is_Add:
+        out = 0
+        for a in e.args:
+            out = out + _eval_scalar(a, params)
+        return out
+    if e.is_Mul:
+        out = 1
+        for a in e.args:
+            out = out * _eval_scalar(a, params)
+        return out
+    if e.is_Pow:
+        return _eval_scalar(e.base, params) ** _eval_scalar(e.exp, params)
+    raise CompilationError(f"Cannot evaluate runtime index {e}")
 
 
 def _use_pallas():

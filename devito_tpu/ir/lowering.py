@@ -134,6 +134,12 @@ def time_access_of(access):
                 off = sympy.simplify(a.subs(root, d0) - d0)
         return int(off)
 
+    a0 = sympy.sympify(arg0)
+    if not any(isinstance(s, Dimension) for s in a0.free_symbols):
+        # absolute time index — an integer or runtime Constant (the
+        # reference's `f[tc, x, y]` probing idiom, tests/test_constant.py):
+        # resolved against the save axis at run time
+        return ('abs', a0)
     if isinstance(d0, ConditionalDimension):
         return ('cond', _off(arg0))
     if d0.is_Stepping:
@@ -218,6 +224,10 @@ def _has_time(expr):
         dims = f.function.dimensions
         if dims and (dims[0].is_Time or isinstance(dims[0],
                                                    ConditionalDimension)):
+            if time_access_of(f)[0] == 'abs':
+                # absolute (constant/runtime-symbol) time index: the
+                # access is loop-invariant, not time-dependent
+                continue
             return True
     free = getattr(expr, 'free_symbols', set())
     return any(isinstance(s, Dimension) and s.is_Time for s in free)

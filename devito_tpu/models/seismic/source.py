@@ -62,6 +62,11 @@ class PointSource(SparseTimeFunction):
         cls._t0w = t0w if t0w is not None else t0
         cls._init_data = data
         kwargs.setdefault('nt', time_range.num if time_range else None)
+        if kwargs.get('npoint') is None and \
+                kwargs.get('coordinates') is None:
+            # reference default: a wavelet source is a single point until
+            # given coordinates (examples/seismic/source.py npoint=1)
+            kwargs['npoint'] = 1
         super().__init_metadata__(**kwargs)
         # keep acquisition metadata reconstructible (pickling)
         cls._constructor_kwargs.update(time_range=time_range, f0=f0, a=a,
@@ -100,11 +105,15 @@ class PointSource(SparseTimeFunction):
     def wavelet(self):
         return None
 
-    def resample(self, dt):
-        """Return a copy of this source resampled to a new dt (linear
-        interpolation, as the reference does via scipy)."""
+    def resample(self, dt=None, num=None):
+        """Return a copy of this source resampled to a new dt or to a
+        fixed number of samples (linear interpolation; the reference
+        uses scipy — examples/seismic/source.py resample)."""
         old = self.time_values
-        new_axis = TimeAxis(start=old[0], stop=old[-1], step=dt)
+        if num is not None:
+            new_axis = TimeAxis(start=old[0], stop=old[-1], num=num)
+        else:
+            new_axis = TimeAxis(start=old[0], stop=old[-1], step=dt)
         newdata = np.stack([np.interp(new_axis.time_values, old,
                                       self.data[:, i])
                             for i in range(self.npoint)], axis=1)

@@ -516,7 +516,9 @@ class Operator:
             for a in accs:
                 fn = a.function
                 tk, off = time_access_of(a)
-                if tk is None:
+                if tk is None or tk == 'abs':
+                    # absolute (runtime-Constant) indices don't constrain
+                    # the loop bounds
                     continue
                 if tk == 'cond':
                     size = fn._time_size or getattr(fn, 'save', None) or 1
@@ -632,7 +634,12 @@ class Operator:
                 params[name] = float(s.value)
         for name in self._symbols:
             if name in kwargs:
-                params[name] = float(kwargs.pop(name))
+                v = kwargs.pop(name)
+                if isinstance(v, Constant):
+                    # reference idiom: op.apply(t=t) passing the Constant
+                    # itself reads its current data
+                    v = v.value
+                params[name] = float(v)
             elif name not in params:
                 raise InvalidArgument(f"Missing runtime value for `{name}`")
         # always accept dt / spacing overrides even when folded out of the

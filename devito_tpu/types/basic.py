@@ -60,6 +60,15 @@ class AbstractFunction(Differentiable, sympy.Function):
                 # kwargs, so a kwargs call unambiguously means rebuild)
                 kw = dict(getattr(cls, '_constructor_kwargs', {}))
                 kw.update(kwargs)
+                try:
+                    if cls._cache_key(**kw) == cls._cache_key(
+                            **cls._constructor_kwargs):
+                        # rebuild with unchanged parameters: same function
+                        # (reference: tests/test_rebuild.py — f._rebuild(
+                        # dimensions=f.dimensions).function is f)
+                        return cls._canonical
+                except Exception:
+                    pass
                 base = cls.__mro__[1]
                 return base(**{k: v for k, v in kw.items()
                                if v is not None or k in kwargs})
@@ -122,6 +131,13 @@ class AbstractFunction(Differentiable, sympy.Function):
     def function(self):
         """The canonical (unshifted) instance of this function."""
         return type(self)._canonical
+
+    def _rebuild(self, **kwargs):
+        """Reconstruct with overridden constructor kwargs (reference:
+        CodeSymbol._rebuild; identical kwargs return this function)."""
+        if not kwargs:
+            return self.function
+        return type(self)(**kwargs)
 
     @property
     def indices(self):

@@ -89,6 +89,11 @@ class DiscreteFunction(AbstractFunction):
             space_dims = as_tuple(dimensions)
         if shape is not None:
             space_shape = as_tuple(shape)
+        if len(space_dims) != len(space_shape):
+            raise ValueError(
+                f"{len(space_dims)} dimensions given but shape has "
+                f"{len(space_shape)} entries — pass a matching shape= "
+                f"(reference: Function._rebuild shape check)")
         cls._space_dimensions = space_dims
         cls._space_shape = space_shape
         cls._dtype = np.dtype(dtype)
@@ -530,6 +535,10 @@ class TimeFunction(Function):
         cls._time_dim_ = tdim
         return (tdim,) + cls._space_dimensions
 
+    # position of the time axis in `shape` (reference:
+    # TimeFunction._time_position)
+    _time_position = 0
+
     @property
     def time_dim(self):
         return type(self)._time_dim_
@@ -537,6 +546,14 @@ class TimeFunction(Function):
     @property
     def save(self):
         return type(self)._save
+
+    @property
+    def _time_buffering(self):
+        """True when time-stepping uses a modulo rolling buffer (save is
+        None or a Buffer); False for full save (reference:
+        TimeFunction._time_buffering)."""
+        return type(self)._save is None or isinstance(type(self)._save,
+                                                      Buffer)
 
     @property
     def _time_size(self):

@@ -125,9 +125,12 @@ class Grid:
 
     @property
     def spacing_map(self):
-        """Map spacing symbols -> numeric values (incl. nothing for dt, which
-        is a runtime argument)."""
-        return dict(zip(self.spacing_symbols, self.spacing))
+        """Map spacing symbols -> numeric values as grid-dtype scalars
+        (reference: Grid.spacing_map dtype handling, tests/test_grid.py
+        test_extent_dtypes; dt is absent — a runtime argument)."""
+        cast = self._dtype.type
+        return {s: cast(v) for s, v in zip(self.spacing_symbols,
+                                           self.spacing)}
 
     @property
     def subdomains(self):
