@@ -576,6 +576,11 @@ class Operator:
             for d in self._grid.dimensions:
                 lo = kwargs.pop(f'{d.name}_m', None)
                 hi = kwargs.pop(f'{d.name}_M', None)
+                if hi is None:
+                    # bare-dim size override: op(x=3) iterates x in
+                    # [x_m, 3] (reference test_operator.py
+                    # test_override_function_size)
+                    hi = kwargs.pop(d.name, None)
                 if lo is not None or hi is not None:
                     sbounds[d.name] = (None if lo is None else int(lo),
                                        None if hi is None else int(hi))
