@@ -41,13 +41,86 @@ from ..exceptions import CompilationError
 __all__ = ['build_runner', 'modulo_period']
 
 
+def _zdev_pad(eq):
+    """``(live z extent, device lane extent)`` when the target is
+    z-compact with a dead lane tail (domain z not a 128 multiple —
+    types/dense.py shape_device) and the write covers the full domain z
+    range; else None.  Such writes OVERCOMPUTE into the tail lanes (the
+    region extends to the full lane extent, so every tensor in the
+    fusion stays tile-aligned — a 180-lane compact row flipped XLA's
+    layout assignment graph-wide, PERF_NOTES 'z-compact requires a
+    lane-aligned extent') and mask the tail back to zero at the fusion
+    root so shifted taps keep reading it as the zero z halo."""
+    fn = eq.target
+    if not getattr(fn, 'is_zcompact', False):
+        return None
+    sshape = fn.shape[1:] if fn.is_TimeFunction else fn.shape
+    n = sshape[-1]
+    zext = fn._zdev_extent()
+    if zext == n or tuple(eq.region[-1]) != (0, n):
+        return None
+    if not _zdev_pad_safe(eq):
+        return None
+    return (n, zext)
+
+
+def _zdev_pad_safe(eq):
+    """Overcompute is only valid when the rhs evaluates naturally over
+    the widened lane range: every dense read's last index must be a
+    plain stencil access (its own last dim + integer shift).  Strided /
+    subsampled / absolute last indices (e.g. ``u2[t, xs, ys] = u[t,
+    2*xs, 2*ys]`` via spatially-subsampled dims) yield a fixed-extent
+    value that cannot be broadcast over the widened region."""
+    import sympy
+    from ..types.basic import retrieve_functions
+    fn = eq.target
+    tdims = getattr(fn, 'dimensions', ())
+    tlast = tdims[-1] if tdims else None
+    # ancestors of the target's last dim (a spatially-subsampled write
+    # dim reads its sources through the parent at a stride)
+    ancestors = set()
+    d = tlast
+    while getattr(d, 'parent', None) is not None:
+        d = d.parent
+        ancestors.add(d)
+    exprs = [eq.rhs] + ([eq.condition] if eq.condition is not None else [])
+    for e in exprs:
+        for a in retrieve_functions(e):
+            f2 = a.function
+            if getattr(f2, 'is_SparseFunction', False):
+                return False
+            args = getattr(a, 'args', ())
+            dims = getattr(f2, 'dimensions', ())
+            if not dims:
+                continue  # bare symbol / scalar
+            if tlast is not None and tlast not in dims:
+                if any(d in ancestors for d in dims):
+                    # reads vary along the widened axis via a parent
+                    # dim (stride/factor mapping): fixed extent
+                    return False
+                continue  # broadcast read: no dependence on the axis
+            if not args or len(args) != len(dims):
+                continue
+            try:
+                off = sympy.simplify(args[-1] - dims[-1])
+            except Exception:
+                return False
+            if not (off.is_number and off.is_integer is not False):
+                return False
+    return True
+
+
 def _write_region_slices(eq):
     """Device-buffer slices for the write region of a dense eq (halo
-    offsets follow the device layout — zero z-halo under z-compact)."""
+    offsets follow the device layout — zero z-halo under z-compact;
+    full-lane extended for tail-padded z-compact targets, _zdev_pad)."""
     fn = eq.target
     slices = []
     for (start, stop), (hl, hr) in zip(eq.region, fn.dev_halo):
         slices.append(slice(hl + start, hl + stop))
+    pad = _zdev_pad(eq)
+    if pad is not None:
+        slices[-1] = slice(0, pad[1])
     return tuple(slices)
 
 
@@ -87,7 +160,9 @@ def _free_dims(eq):
         f = a.function
         if f.is_SparseFunction:
             continue
-        for d, n in zip(f.space_dimensions, f.shape):
+        sdims = f.space_dimensions
+        sshape = f.shape[len(f.shape) - len(sdims):]  # drop time axis
+        for d, n in zip(sdims, sshape):
             if d.name not in target_names and d.name not in out:
                 out[d.name] = (0, int(n))
     return out
@@ -293,7 +368,8 @@ def _align_lane_write(val, slices, strip, buf_shape, row_idx, jnp):
     return val, tuple(slices)
 
 
-def _exec_dense(eq, bufs, params, t, direction, strips=None):
+def _exec_dense(eq, bufs, params, t, direction, strips=None,
+                shard_spec=None):
     import jax
     import jax.numpy as jnp
     from .translate import translate, DenseCtx
@@ -327,8 +403,19 @@ def _exec_dense(eq, bufs, params, t, direction, strips=None):
             val_fullz = plan.fullz and tp is not None
 
     region = _region_map(eq)
+    zpad = _zdev_pad(eq)
+    if zpad is not None:
+        # overcompute into the dead lane tail (see _zdev_pad)
+        zkey = next(reversed(region))
+        region[zkey] = (0, zpad[1])
     free = _free_dims(eq)
     if free:
+        if shard_spec:
+            # per-shard extents on partitioned free dims (_free_dims
+            # reads the functions' GLOBAL shapes)
+            free = OrderedDict(
+                (dn, (0, shard_spec[dn][2]) if dn in shard_spec else ext)
+                for dn, ext in free.items())
         region = OrderedDict(list(region.items()) + list(free.items()))
     ctx = DenseCtx(bufs, params, region, t=t, direction=direction,
                    stride_map=_stride_map(eq))
@@ -336,7 +423,28 @@ def _exec_dense(eq, bufs, params, t, direction, strips=None):
         val = translate(eq.rhs, ctx)
         if free:
             nt_ax = len(region) - len(free)
-            val = jnp.sum(val, axis=tuple(range(nt_ax, len(region))))
+            ax = tuple(range(nt_ax, len(region)))
+            if eq.reduction == 'max':
+                val = jnp.max(val, axis=ax)
+            elif eq.reduction == 'min':
+                val = jnp.min(val, axis=ax)
+            else:
+                val = jnp.sum(val, axis=ax)
+            if shard_spec:
+                # explicit halo path: a contraction over partitioned
+                # dims sums only the shard-local extent — combine the
+                # partials over those mesh axes (reference analog:
+                # ReductionBuilder -> MPI_Allreduce,
+                # devito/mpi/routines.py:1403)
+                axes = tuple(shard_spec[d][0] for d in free
+                             if d in shard_spec and shard_spec[d][1] > 1)
+                if axes:
+                    if eq.reduction == 'max':
+                        val = jax.lax.pmax(val, axes)
+                    elif eq.reduction == 'min':
+                        val = jax.lax.pmin(val, axes)
+                    else:
+                        val = jax.lax.psum(val, axes)
 
     slices = _write_region_slices(eq)
     if val_fullz:
@@ -414,7 +522,16 @@ def _finalize_val(eq, val, current, ctx, region_shape, dtype, jnp):
     if eq.condition is not None:
         cond = translate(eq.condition, ctx)
         val = jnp.where(cond, val, current())
-    return jnp.broadcast_to(val, region_shape).astype(dtype)
+    val = jnp.broadcast_to(val, region_shape).astype(dtype)
+    zpad = _zdev_pad(eq)
+    if zpad is not None:
+        # dead lane tail stays zero (it doubles as the right z halo of
+        # every shifted tap; jnp.where also kills inf/nan computed from
+        # zero-tail coefficient reads, e.g. 1/m)
+        n, zext = zpad
+        live = jnp.arange(zext) < n
+        val = jnp.where(live, val, jnp.zeros((), dtype))
+    return val
 
 
 def _sparse_geometry(sf, bufs, params, shard_spec=None):
@@ -792,7 +909,7 @@ def build_runner(schedule, write_names, stepping_info=None, errctl=None,
             with ctx:
                 if isinstance(it, LoweredEq):
                     bufs = _exec_dense(it, bufs, params, t, direction,
-                                       strips)
+                                       strips, shard_spec)
                 elif isinstance(it, LoweredSparse):
                     bufs = _exec_sparse(it, bufs, params, t, geom_cache,
                                         direction, shard_spec)

@@ -231,7 +231,13 @@ class DenseCtx(BaseCtx):
             # a halo-extended read region (CIRE temporaries computed into
             # the halo) also needs the synthesized z halo
             start, length = self.region[specs[-1][1]]
-            nlast = (fn.shape[1:] if fn.is_TimeFunction else fn.shape)[-1]
+            if getattr(fn, 'is_zcompact', False):
+                # device buffer carries round_up(n, 128) lanes: the dead
+                # tail (kept zero) serves tail-extended regions directly
+                nlast = fn._zdev_extent()
+            else:
+                nlast = (fn.shape[1:] if fn.is_TimeFunction
+                         else fn.shape)[-1]
             if start < 0 or start + length > nlast:
                 last_plain = False
         if getattr(fn, 'is_zcompact', False) and specs and not last_plain:
@@ -269,6 +275,16 @@ class DenseCtx(BaseCtx):
                 s = hl + start + off
                 slices.append(slice(s, s + length))
                 idx_dims.append(dn)
+        # a tail-extended write region (z-compact targets overcompute into
+        # their dead lane tail, executor._zdev_pad) may slice past a
+        # padded-layout operand's lane extent: zero-pad the shortfall —
+        # those output lanes are masked back to zero at the fusion root
+        last = slices[-1] if slices else None
+        if (isinstance(last, slice) and last.step in (None, 1)
+                and last.stop is not None and last.stop > arr.shape[-1]):
+            import jax.numpy as jnp
+            arr = jnp.pad(arr, [(0, 0)] * (arr.ndim - 1)
+                          + [(0, last.stop - arr.shape[-1])])
         arr = arr[tuple(slices)]
         # Align axes to the region's dimension order. Grid-backed stencil
         # accesses index each axis by its own dim in grid order (no-op);

@@ -49,6 +49,21 @@ def _compile_kwargs(extra=None):
     return {'compiler_options': opts} if opts else {}
 
 
+def _buf_signature(bufs):
+    """jit-cache signature of a buffer dict: name, shape, dtype AND the
+    function's device layout — a padded and a z-compact buffer of the
+    same function can share (shape, dtype) since the compact layout
+    lane-aligns too (types/dense.py shape_device), but the traced runner
+    hard-codes layout-dependent offsets."""
+    from ..types.dense import _layout_registry
+
+    def lay(k):
+        e = _layout_registry.get(k)
+        return e[0] if e is not None else 'padded'
+    return tuple(sorted(
+        (k, v.shape, str(v.dtype), lay(k)) for k, v in bufs.items()))
+
+
 class Operator:
     """Compile a list of expressions into a callable kernel.
 
@@ -316,8 +331,10 @@ class Operator:
                 continue
             want = 'padded'
             space_shape = fn.shape[1:] if fn.is_TimeFunction else fn.shape
-            lane_ok = bool(space_shape) and space_shape[-1] % 128 == 0
-            if (allow and not use_pallas and lane_ok
+            # no lane-alignment gate: arbitrary z extents store
+            # round_up(z, 128) compact lanes with a dead zero tail
+            # (types/dense.py shape_device, executor _zdev_pad)
+            if (allow and not use_pallas and bool(space_shape)
                     and not self._has_extended_regions
                     and name in self._zcompact_candidates
                     and fn.halo_state == 'zero'):
@@ -576,14 +593,23 @@ class Operator:
             for d in self._grid.dimensions:
                 lo = kwargs.pop(f'{d.name}_m', None)
                 hi = kwargs.pop(f'{d.name}_M', None)
+                # bare-dim size override: op(x=3) iterates x in [x_m, 3]
+                # (reference test_operator.py test_override_function_size);
+                # explicit x_M= wins over the shorthand (reference
+                # derivation order lets explicit bounds win)
+                bare = kwargs.pop(d.name, None)
                 if hi is None:
-                    # bare-dim size override: op(x=3) iterates x in
-                    # [x_m, 3] (reference test_operator.py
-                    # test_override_function_size)
-                    hi = kwargs.pop(d.name, None)
+                    hi = bare
                 if lo is not None or hi is not None:
-                    sbounds[d.name] = (None if lo is None else int(lo),
-                                       None if hi is None else int(hi))
+                    try:
+                        sbounds[d.name] = (
+                            None if lo is None else int(lo),
+                            None if hi is None else int(hi))
+                    except (TypeError, ValueError):
+                        raise InvalidArgument(
+                            f"Bounds for dimension `{d.name}` must be "
+                            f"integer scalars; got {d.name}_m={lo!r}, "
+                            f"{d.name}_M={hi!r}")
         base_runner = self._runner
         if (not sbounds and shard and self._grid is not None
                 and self._grid.distributor is not None):
@@ -1026,17 +1052,22 @@ class Operator:
         from ..compiler import pallas_backend as pb
         pb.set_tile_override(getattr(self, '_tile_override', None))
         runner = getattr(self, '_runner_sel', None) or self._runner
-        key = (id(runner),
-               tuple(sorted((k, v.shape, str(v.dtype))
-                            for k, v in wbufs.items())),
-               tuple(sorted((k, v.shape, str(v.dtype))
-                            for k, v in rbufs.items())),
+        key = (id(runner), _buf_signature(wbufs), _buf_signature(rbufs),
                tuple(sorted(params)))
         hit = self._jit_cache.get(key)
         if hit is not None:
             return hit, False
         tic = _time.perf_counter()
-        jitted = jax.jit(runner, donate_argnums=(0,))
+
+        # fresh closure per cache entry: jax's global tracing cache is
+        # keyed on the callable's identity + avals, and a padded vs
+        # z-compact buffer of the same function can share (shape, dtype)
+        # while the traced offsets differ (regression: an apply that
+        # switched a slot's layout silently reused the other layout's
+        # trace and read the wavefield 4 lanes off, nan-ing the run)
+        def entry(wb, rb, ps, a, b, __runner=runner):
+            return __runner(wb, rb, ps, a, b)
+        jitted = jax.jit(entry, donate_argnums=(0,))
         compiled = jitted.lower(wbufs, rbufs, params, tm, tM).compile(
             **_compile_kwargs(getattr(self, '_autotuned_opts', None)))
         jit_time = _time.perf_counter() - tic
@@ -1067,11 +1098,7 @@ class Operator:
         return runner
 
     def _compiled_sharded(self, hr, wbufs, rbufs, params, tm, tM):
-        key = ('sharded',
-               tuple(sorted((k, v.shape, str(v.dtype))
-                            for k, v in wbufs.items())),
-               tuple(sorted((k, v.shape, str(v.dtype))
-                            for k, v in rbufs.items())),
+        key = ('sharded', _buf_signature(wbufs), _buf_signature(rbufs),
                tuple(sorted(params)))
         hit = self._jit_cache.get(key)
         if hit is not None:

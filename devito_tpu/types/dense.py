@@ -40,8 +40,24 @@ class Buffer:
 # unpickled operators hold distinct generated classes for the "same"
 # function), so the translator-side consults (dev_halo/is_zcompact) key
 # on the name; buffers themselves live on the class that was bound at
-# _prepare time.
+# _prepare time.  Entries are ``(layout, family_token)``: a stale entry
+# from a DEAD function family (an earlier, unrelated function that
+# happened to share the name — e.g. across tests) must not poison a
+# fresh same-named function whose class state is still the default, so
+# lookups validate the token (shape/dtype/halo signature) and fall back
+# to the class state on mismatch.
 _layout_registry = {}
+
+
+def _registry_layout(fn):
+    """Resolve ``fn``'s device layout: a registry entry whose family
+    token matches wins (alias instances of the same function agree even
+    across generated classes); otherwise the instance's own class
+    state."""
+    entry = _layout_registry.get(fn.name)
+    if entry is not None and entry[1] == fn._family_token():
+        return entry[0]
+    return type(fn)._dev_layout
 
 # Device STORAGE dtype by function name: the device buffer may hold a
 # narrower dtype (bfloat16) than the function's compute dtype — the
@@ -209,26 +225,49 @@ class DiscreteFunction(AbstractFunction):
             return h[:-1] + ((0, 0),)
         return h
 
+    def _family_token(self):
+        """Identity of this function's build family — same name AND same
+        token means 'the same function' for layout purposes (unpickled
+        clones, per-apply overrides); a mere name collision differs."""
+        cls = type(self)
+        return (tuple(getattr(cls, '_space_shape', ()) or ()),
+                str(getattr(cls, '_dtype', '')),
+                tuple(getattr(cls, '_halo', ()) or ()))
+
     @property
     def is_zcompact(self):
-        return _layout_registry.get(self.name,
-                                    type(self)._dev_layout) == 'zcompact'
+        return _registry_layout(self) == 'zcompact'
 
     @property
     def shape_device(self):
-        """Shape of the device buffer under the current device layout."""
+        """Shape of the device buffer under the current device layout.
+
+        z-compact buffers lane-align too: the last (lane) extent rounds
+        up to 128 and the sublane (y) extent to 8 — the tail lanes are
+        DEAD (created zero, every full-z write masks them back to zero in
+        the producing fusion, compiler/executor.py), so shifted taps read
+        them as the zero halo.  This removes the old `z % 128 == 0`
+        eligibility gate: a 192^3 grid stores 256-lane compact rows and
+        keeps the fast layout (BENCH_r02's 3.6x cliff at 192^3)."""
         if not self.is_zcompact:
             return self.shape_allocated
+        from ..utils import round_up
         lead = len(self._leading_slices())
-        space = tuple(n + l + r for n, (l, r) in zip(
-            type(self)._space_shape, self.dev_halo))
+        space = self._allocated_space()  # halo'd + aligned, host layout
+        space = space[:-1] + (self._zdev_extent(),)
         return self.shape_with_halo[:lead] + space
+
+    def _zdev_extent(self):
+        """Lane extent of the z-compact device buffer: the bare domain
+        extent rounded up to the 128-lane tile (the tail is dead)."""
+        from ..utils import round_up
+        return round_up(type(self)._space_shape[-1], 128)
 
     def set_device_layout(self, layout):
         """Switch the device-buffer layout, syncing any device-authoritative
         data through the host first."""
         cls = type(self)
-        _layout_registry[self.name] = layout
+        _layout_registry[self.name] = (layout, self._family_token())
         if cls._dev_layout == layout:
             return
         if cls._coh == self._DEV and cls._dev_buf is not None:
@@ -303,12 +342,12 @@ class DiscreteFunction(AbstractFunction):
         self._allocate()
         if cls._coh == self._DEV:
             dev = np.asarray(cls._dev_buf)
-            if dev.shape == cls._host_buf.shape:
+            if cls._dev_layout != 'zcompact':
                 np.copyto(cls._host_buf, dev)
             else:  # z-compact device layout: re-insert into the halo'd host
                 hl, _ = cls._halo[-1]
                 n = cls._space_shape[-1]
-                cls._host_buf[..., hl:hl + n] = dev
+                cls._host_buf[..., hl:hl + n] = dev[..., :n]
         cls._coh = self._HOST  # user may write through the view
         cls._pristine_zero = False
         cls._dev_buf = None
@@ -319,16 +358,35 @@ class DiscreteFunction(AbstractFunction):
         host data if needed."""
         import jax.numpy as jnp
         cls = type(self)
+        # a fresh class of an existing family may not yet carry the
+        # family's registered layout — sync it so the buffer built here
+        # matches what dev_halo/is_zcompact (registry-resolved) describe
+        self.set_device_layout(_registry_layout(self))
         self._allocate()
         if cls._coh == self._HOST or cls._dev_buf is None:
             buf = cls._host_buf
+            pristine = getattr(cls, '_pristine_zero', False)
             if cls._dev_layout == 'zcompact':
                 hl, _ = cls._halo[-1]
                 n = cls._space_shape[-1]
-                buf = buf[..., hl:hl + n]
+                zext = self._zdev_extent()
+                if zext == n or pristine:
+                    buf = buf[..., hl:hl + n]
+                    shape = buf.shape[:-1] + (zext,)
+                else:
+                    # lane-aligned compact row with a dead zero tail (the
+                    # in-kernel halo synthesis reads the tail as the
+                    # right z halo)
+                    tmp = np.zeros(buf.shape[:-1] + (zext,),
+                                   dtype=buf.dtype)
+                    tmp[..., :n] = buf[..., hl:hl + n]
+                    buf = tmp
+                    shape = buf.shape
+            else:
+                shape = buf.shape
             sdt = self.storage_dtype
-            if getattr(cls, '_pristine_zero', False):
-                cls._dev_buf = jnp.zeros(buf.shape, dtype=sdt)
+            if pristine:
+                cls._dev_buf = jnp.zeros(shape, dtype=sdt)
             else:
                 cls._dev_buf = jnp.asarray(buf, dtype=sdt)
             cls._coh = self._BOTH
@@ -346,6 +404,7 @@ class DiscreteFunction(AbstractFunction):
         buffering/Orchestrator analog; Operator._apply_streamed)."""
         import jax.numpy as jnp
         cls = type(self)
+        self.set_device_layout(_registry_layout(self))
         host = self._ensure_host()
         nt = self.shape[0]
         rows = hi - lo
@@ -356,7 +415,13 @@ class DiscreteFunction(AbstractFunction):
         if cls._dev_layout == 'zcompact':
             hl, _ = cls._halo[-1]
             n = cls._space_shape[-1]
-            win = win[..., hl:hl + n]
+            zext = self._zdev_extent()
+            if zext == n:
+                win = win[..., hl:hl + n]
+            else:
+                tmp = np.zeros(win.shape[:-1] + (zext,), dtype=win.dtype)
+                tmp[..., :n] = win[..., hl:hl + n]
+                win = tmp
         return jnp.asarray(win, dtype=self.storage_dtype)
 
     def _absorb_window(self, arr, lo):
@@ -369,10 +434,10 @@ class DiscreteFunction(AbstractFunction):
         a0, a1 = max(lo, 0), min(lo + a.shape[0], nt)
         if a1 > a0:
             src = a[a0 - lo:a1 - lo]
-            if a.shape[1:] != host.shape[1:]:  # z-compact device layout
+            if cls._dev_layout == 'zcompact':
                 hl, _ = cls._halo[-1]
                 n = cls._space_shape[-1]
-                host[a0:a1, ..., hl:hl + n] = src
+                host[a0:a1, ..., hl:hl + n] = src[..., :n]
             else:
                 host[a0:a1] = src
         cls._coh = self._HOST

@@ -84,3 +84,49 @@ def test_spatial_bounds_override():
     # same operator, full domain afterwards (per-apply runner cache)
     op.apply(time_M=2, dt=1.)
     assert np.asarray(u.data)[0].sum() > 200.
+
+
+def test_bare_dim_with_explicit_bound():
+    """op(x=3, x_M=5): the explicit x_M wins over the bare-dim shorthand
+    and the shorthand must not leak to the unknown-kwargs check
+    (ADVICE r2: conflicting bounds resolution)."""
+    import numpy as np
+    from devito_tpu import Grid, Function, Eq, Operator
+    g = Grid(shape=(10, 10))
+    f = Function(name='fbd', grid=g)
+    Operator(Eq(f, 1)).apply(x=3, x_M=5)
+    d = np.asarray(f.data)
+    assert d[:6].sum() == 60.0 and d[6:].sum() == 0.0
+
+
+def test_bare_dim_non_integer_raises():
+    """A non-numeric bare-dim value raises the typed InvalidArgument, not
+    a raw TypeError (ADVICE r2)."""
+    from devito_tpu import Grid, Function, Eq, Operator
+    g = Grid(shape=(10, 10))
+    f = Function(name='fni', grid=g)
+    op = Operator(Eq(f, 1))
+    with pytest.raises(InvalidArgument, match="integer scalar"):
+        op.apply(x=g.dimensions[0])
+
+
+def test_layout_registry_no_cross_family_leak():
+    """A z-compact layout registered for one function must not poison a
+    later, unrelated function that reuses the name (regression: a stale
+    name-keyed registry entry made builtins.norm slice a padded buffer
+    with compact halo offsets, dropping the last lane column)."""
+    import numpy as np
+    from devito_tpu import Grid, Function
+    from devito_tpu.builtins import norm
+    from devito_tpu.types.dense import _layout_registry
+    g1 = Grid(shape=(16, 16))
+    f1 = Function(name='flk', grid=g1)
+    # simulate a prior operator choosing the compact layout for f1
+    f1.set_device_layout('zcompact')
+    assert f1.is_zcompact
+    g2 = Grid(shape=(12, 12), extent=(11., 11.), dtype=np.float64)
+    f2 = Function(name='flk', grid=g2, dtype=np.float64)
+    assert not f2.is_zcompact  # different family: entry must not apply
+    f2.data[:] = np.arange(144.).reshape(12, 12) - 70.
+    ref = np.linalg.norm(np.arange(144.) - 70.)
+    assert np.isclose(norm(f2), ref, rtol=1e-12)

@@ -60,7 +60,10 @@ def test_explicit_halo_matches_serial_2d(topology):
     ref, _ = _acoustic(_mkgrid(shape))
     got, op = _acoustic(_mkgrid(shape, topology))
     assert op._halo_runner is not None, "explicit halo path not taken"
-    assert np.abs(got - ref).max() < 1e-6
+    # the serial reference runs the z-compact fast layout (any z extent
+    # since r3), the sharded path the padded one: same math, different
+    # XLA fusion order, so agreement is to fp32 round-off, not bitwise
+    assert np.abs(got - ref).max() < 5e-6
 
 
 def test_explicit_halo_matches_serial_3d():
@@ -70,7 +73,7 @@ def test_explicit_halo_matches_serial_3d():
     ref, _ = _acoustic(_mkgrid(shape))
     got, op = _acoustic(_mkgrid(shape, (2, 2, 2)))
     assert op._halo_runner is not None
-    assert np.abs(got - ref).max() < 1e-6
+    assert np.abs(got - ref).max() < 5e-6  # fp32 round-off (see 2d test)
 
 
 def test_no_allgather_in_stencil_hlo():
@@ -388,3 +391,86 @@ def test_gspmd_per_step_collectives_pinned():
         c2 = _while_body_counts(compiled2.as_text())
         assert c2['all-to-all'] == 0, c2
         assert c2['collective-permute'] > 0
+
+
+def test_explicit_path_reduction_matches_serial():
+    """Inc contraction + ReduceMax on the explicit halo path: each
+    shard's partial combines via psum/pmax over the partitioned free
+    dims (reference: ReductionBuilder -> MPI_Allreduce,
+    devito/mpi/routines.py:1403; VERDICT r2 item 5)."""
+    from devito_tpu import Inc, ReduceMax, Function, Constant, Dimension
+
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+
+    def run(topology):
+        grid = _mkgrid((32, 32), topology)
+        u = TimeFunction(name='u', grid=grid, time_order=2, space_order=4)
+        vp = Function(name='vp', grid=grid)
+        vp.data[:] = 1.5
+        s = Function(name='s', shape=(1,),
+                     dimensions=(Dimension('i0'),), dtype=np.float64)
+        mx = Function(name='mx', shape=(1,),
+                      dimensions=(Dimension('i1'),), dtype=np.float64)
+        st = solve((1 / (vp * vp)) * u.dt2 - u.laplace, u.forward)
+        mid = tuple(c // 2 for c in grid.shape)
+        u.data[(0,) + mid] = 1.0
+        op = Operator([Eq(u.forward, st),
+                       Inc(s, u * u),
+                       ReduceMax(mx, u)], subs=grid.spacing_map)
+        op.apply(time_M=6, dt=0.04)
+        if topology is not None:
+            assert op._halo_runner is not None, "explicit path not taken"
+        return float(s.data[0]), float(mx.data[0])
+
+    s_ser, m_ser = run(None)
+    s_par, m_par = run((4, 2))
+    assert s_ser > 0 and np.isfinite(s_ser)
+    assert abs(s_par - s_ser) / abs(s_ser) < 1e-5
+    assert abs(m_par - m_ser) / max(abs(m_ser), 1e-30) < 1e-5
+
+
+def test_explicit_path_matrix_sparse_matches_serial():
+    """MatrixSparseTimeFunction inject+interpolate on the explicit halo
+    path: replicated points, shard-masked corners, psum'd partials
+    (reference: mpi_registry runs all sparse types under every scheme,
+    devito/mpi/routines.py:1023; VERDICT r2 item 5)."""
+    from devito_tpu.types.sparse import MatrixSparseTimeFunction
+
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+
+    def run(topology):
+        grid = _mkgrid((32, 32), topology)
+        x, y = grid.dimensions
+        u = TimeFunction(name='u', grid=grid, time_order=2, space_order=4)
+        vp = Function(name='vp', grid=grid)
+        vp.data[:] = 1.5
+        M = np.array([[1.0], [-1.0]])
+        src = MatrixSparseTimeFunction(name='src', grid=grid, npoint=1,
+                                       nt=8, matrix=M, r=2,
+                                       gridpoints=[[7, 9], [22, 20]])
+        src.interpolation_coefficients[x][:] = [[1.0, 0.0], [0.5, 0.5]]
+        src.interpolation_coefficients[y][:] = [[1.0, 0.0], [1.0, 0.0]]
+        src.data[:] = 1.0
+        src.manual_scatter()
+        rec = MatrixSparseTimeFunction(name='rec', grid=grid, npoint=1,
+                                       nt=8, matrix=M.copy(), r=2,
+                                       gridpoints=[[9, 9], [20, 22]])
+        rec.interpolation_coefficients[x][:] = [[1.0, 0.0], [0.5, 0.5]]
+        rec.interpolation_coefficients[y][:] = [[1.0, 0.0], [1.0, 0.0]]
+        st = solve((1 / (vp * vp)) * u.dt2 - u.laplace, u.forward)
+        op = Operator([Eq(u.forward, st),
+                       src.inject(field=u.forward, expr=src),
+                       rec.interpolate(expr=u)],
+                      subs=grid.spacing_map)
+        op.apply(time_M=6, dt=0.04)
+        if topology is not None:
+            assert op._halo_runner is not None, "explicit path not taken"
+        return np.array(u.data), np.array(rec.data)
+
+    u_ser, r_ser = run(None)
+    u_par, r_par = run((4, 2))
+    assert np.abs(u_par - u_ser).max() < 5e-6
+    assert np.abs(r_par - r_ser).max() < 5e-6
+    assert np.abs(r_ser).max() > 0

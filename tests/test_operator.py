@@ -206,3 +206,24 @@ def test_per_section_summary():
     assert summary['section0'].ops > 0 and summary['section1'].ops > 0
     total = sum(e.time for e in summary.values())
     assert np.isclose(total, summary.globals['fdlike'].time, rtol=1e-6)
+
+
+def test_layout_switch_retraces():
+    """An apply that switches a slot's device layout (padded <-> z-compact
+    — e.g. overriding an edge-padded physical parameter with a fresh
+    zero-halo one) must re-trace the runner: padded and compact buffers
+    can share (shape, dtype) while the traced offsets differ (regression:
+    jax's callable-identity trace cache reused the padded-offset trace
+    for a compact buffer and read the parameter 4 lanes off, nan-ing
+    the wavefield)."""
+    from devito_tpu.models.seismic import acoustic_setup
+    from devito_tpu.builtins import smooth
+
+    wave = acoustic_setup(shape=(50, 60), spacing=(10., 10.),
+                          kernel='OT2', tn=400.0, space_order=4, nbl=40,
+                          preset='layers-isotropic')
+    vel0 = Function(name='vel0_ls', grid=wave.model.grid, space_order=4)
+    smooth(vel0, wave.model.vp)
+    wave.forward(time_M=3)             # vp: halo 'edge' -> padded layout
+    d, uu = wave.forward(vp=vel0, time_M=3)[0:2]   # vel0: 'zero' -> compact
+    assert np.isfinite(np.asarray(uu.data)).all()

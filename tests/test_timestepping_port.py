@@ -85,7 +85,8 @@ def test_forward_backward_overlapping(a, b, nt=5):
 
 def test_loop_bounds_forward(d):
     """Writing Eq(d, 2 + d.dt2) reads d[t-1], d[t], d[t+1]: the forward
-    loop must auto-clamp to [time_order, nt-1-time_order]."""
+    loop must auto-clamp by the dt2 stencil's actual read offsets
+    (radius 1 each side), i.e. only rows 1..nt-2 are written."""
     d.data[:] = 1.
     Operator(Eq(d, 2. + d.dt2), opt='noop')(dt=1.)
     assert np.allclose(d.data[0], 1., rtol=1e-12)
