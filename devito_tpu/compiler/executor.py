@@ -423,6 +423,29 @@ def _exec_dense(eq, bufs, params, t, direction, strips=None,
         val = translate(eq.rhs, ctx)
         if free:
             nt_ax = len(region) - len(free)
+            if shard_spec:
+                # uneven axes: the last shard's dead cells (global index
+                # >= the true extent) must not contribute to the
+                # contraction
+                for k, dn in enumerate(free):
+                    part = shard_spec.get(dn)
+                    if part is None or len(part) < 4:
+                        continue
+                    axn, nparts, lext, nglb = part
+                    if lext * nparts == nglb:
+                        continue
+                    off = params[f'__shard_off_{dn}__']
+                    gidx = off + jnp.arange(lext)
+                    shp = [1] * max(val.ndim, nt_ax + len(free))
+                    shp[nt_ax + k] = lext
+                    live = (gidx < nglb).reshape(shp)
+                    if eq.reduction in ('max', 'min'):
+                        fill = (jnp.finfo(val.dtype).min
+                                if eq.reduction == 'max'
+                                else jnp.finfo(val.dtype).max)
+                        val = jnp.where(live, val, fill)
+                    else:
+                        val = val * live.astype(val.dtype)
             ax = tuple(range(nt_ax, len(region)))
             if eq.reduction == 'max':
                 val = jnp.max(val, axis=ax)
@@ -623,7 +646,7 @@ def _sparse_geometry(sf, bufs, params, shard_spec=None):
             part = shard_spec.get(d.name)
             if part is None:
                 continue
-            axis_name, nparts, lext = part
+            axis_name, nparts, lext = part[:3]
             off = jax.lax.axis_index(axis_name) * lext
             loc = idxs[d.name] - off
             inb = (loc >= 0) & (loc <= lext - 1)
@@ -760,7 +783,7 @@ def _exec_sparse(item, bufs, params, t, geom_cache, direction,
                 jnp.broadcast_to(res, own.shape))
         if shard_spec:
             import jax
-            axes = tuple(a for (a, n, l) in shard_spec.values() if n > 1)
+            axes = tuple(p[0] for p in shard_spec.values() if p[1] > 1)
             if axes:
                 res = jax.lax.psum(res, axes)
         return _write_interp(item, sf, res, matrix, bufs, out, params,
@@ -1078,8 +1101,8 @@ def build_runner(schedule, write_names, stepping_info=None, errctl=None,
                             # ppermute chains); reference analog:
                             # rank-local error -> comm.Abort
                             # (operator.py:743)
-                            axes = tuple(a for (a, n, l)
-                                         in shard_spec.values() if n > 1)
+                            axes = tuple(pp[0] for pp in
+                                         shard_spec.values() if pp[1] > 1)
                             if axes:
                                 bad = jax.lax.psum(
                                     bad.astype(jnp.int32), axes) > 0

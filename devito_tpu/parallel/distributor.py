@@ -86,6 +86,27 @@ class Distributor:
         mesh_devs = np.array(devices).reshape(topo)
         self._mesh = Mesh(mesh_devs, self._axis_names)
 
+    # jax Device objects are process-local handles: pickle the topology
+    # and re-bind devices on load (the reference pickles Operators and
+    # re-attaches the MPI comm at run time — tests/test_pickle.py)
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state.pop('_mesh', None)
+        return state
+
+    def __setstate__(self, state):
+        import jax
+        self.__dict__.update(state)
+        ndev = int(np.prod(self._topology))
+        devices = jax.devices()[:ndev]
+        if len(devices) < ndev:
+            raise RuntimeError(
+                f"unpickling a Distributor over {ndev} devices but only "
+                f"{len(devices)} available")
+        from jax.sharding import Mesh
+        mesh_devs = np.array(devices).reshape(self._topology)
+        self._mesh = Mesh(mesh_devs, self._axis_names)
+
     @property
     def mesh(self):
         return self._mesh

