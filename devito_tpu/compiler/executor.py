@@ -208,31 +208,70 @@ def _upcast(arr, fn):
     return arr
 
 
-def _resolve_time_indexed(bufs, fn, tk, toff, t, direction, params=None):
+def _resolve_time_indexed(bufs, fn, tk, toff, t, direction, params=None,
+                          upcast=True):
     """Return the (3-d or lower) array for a time-resolved access."""
     import jax
+    up = _upcast if upcast else (lambda a, f: a)
     buf = bufs[fn.name]
     if tk is None:
-        return _upcast(buf, fn)
+        return up(buf, fn)
     if tk == 'stepping':
         if t is None:
             raise CompilationError(
                 "Stepping access outside the time loop")
-        return _upcast(jax.lax.dynamic_index_in_dim(
+        return up(jax.lax.dynamic_index_in_dim(
             buf, step_row(t, toff, fn._time_size), 0, keepdims=False), fn)
     if tk == 'save':
-        return _upcast(jax.lax.dynamic_index_in_dim(
+        return up(jax.lax.dynamic_index_in_dim(
             buf, save_row(t, toff, params, fn), 0, keepdims=False), fn)
     if tk == 'cond':
         factor = fn.dimensions[0].factor or 1
-        return _upcast(jax.lax.dynamic_index_in_dim(
+        return up(jax.lax.dynamic_index_in_dim(
             buf, t // factor + toff, 0, keepdims=False), fn)
     if tk == 'abs':
         # absolute index: integer / runtime-Constant expression
         idx = _eval_scalar(toff, params or {})
-        return _upcast(jax.lax.dynamic_index_in_dim(
+        return up(jax.lax.dynamic_index_in_dim(
             buf, jnp_int32(idx), 0, keepdims=False), fn)
     raise CompilationError(f"Bad time access kind {tk}")
+
+
+def _time_row_index(fn, tk, toff, t, params):
+    """Traced buffer row index of a time-resolved access (None when the
+    function has no time axis)."""
+    if tk is None:
+        return None
+    if tk == 'stepping':
+        if t is None:
+            raise CompilationError("Stepping access outside the time loop")
+        return step_row(t, toff, fn._time_size)
+    if tk == 'save':
+        return save_row(t, toff, params, fn)
+    if tk == 'cond':
+        factor = fn.dimensions[0].factor or 1
+        return t // factor + toff
+    if tk == 'abs':
+        return jnp_int32(_eval_scalar(toff, params or {}))
+    raise CompilationError(f"Bad time access kind {tk}")
+
+
+def _windowed_slab(bufs, fn, tk, toff, t, params, x0, xlen):
+    """[x0, x0+xlen) slab (leading space axis, buffer coords) of a
+    time-resolved row, sliced in ONE dynamic_slice straight off the
+    time-stacked buffer. Extracting the full row first and slicing it
+    per x-chunk would let XLA CSE the shared row extraction into a
+    whole-row HBM materialization — at >=384^3 that costs more than the
+    chunks themselves."""
+    import jax
+    buf = bufs[fn.name]
+    ri = _time_row_index(fn, tk, toff, t, params)
+    if ri is None:
+        return jax.lax.slice_in_dim(buf, x0, x0 + xlen, axis=0)
+    starts = (jnp_int32(ri), jnp_int32(x0)) + tuple(
+        jnp_int32(0) for _ in range(buf.ndim - 2))
+    sizes = (1, xlen) + tuple(buf.shape[2:])
+    return jax.lax.dynamic_slice(buf, starts, sizes)[0]
 
 
 def jnp_int32(v):
@@ -368,6 +407,89 @@ def _align_lane_write(val, slices, strip, buf_shape, row_idx, jnp):
     return val, tuple(slices)
 
 
+def _x_chunk_plan(eq, region, t, strips, shard_spec):
+    """Decide x-chunked execution of a stepping stencil write.
+
+    Past ~320^3, the staged f32 row of a multi-tap stencil operand no
+    longer fits VMEM, XLA's memory-space assignment stops pinning it,
+    and the loop fusion re-reads HBM once per tap (~27x traffic for an
+    SO=8 laplacian — the 5x 512^3 cliff). Splitting the leading (major)
+    space dim into chunks whose materialized operand slabs fit VMEM
+    restores the pin; chunk DUS writes along the major dim need no lane
+    or sublane alignment. Returns (xdim name, region x start,
+    [(offset, length)...], materialize keys) or None (run monolithic).
+
+    Reference analog: cache blocking (devito/passes/clusters/blocking.py)
+    — re-designed as a VMEM working-set split, the TPU's actual cache.
+    """
+    import os
+    if (t is None or shard_spec or eq.reduction
+            or eq.time_kind != 'stepping' or not region):
+        return None
+    if strips and strips.get(id(eq)) is not None:
+        return None
+    from ..ir.lowering import (time_access_of, space_index_specs,
+                               space_offsets_of)
+    from ..types.basic import retrieve_functions
+    xd, (x0, xlen) = next(iter(region.items()))
+    d0 = eq.target.space_dimensions[0]
+    if getattr(d0, 'is_Conditional', False) or d0.name != xd:
+        return None
+    tname = eq.target.function.name
+    rows = {}
+    exprs = [eq.rhs] + ([eq.condition] if eq.condition is not None else [])
+    for ex in exprs:
+        for a in retrieve_functions(ex):
+            fn = a.function
+            if fn.is_SparseFunction:
+                return None
+            if fn.name == tname:
+                tkk, toff = time_access_of(a)
+                if tkk == eq.time_kind and str(toff) == str(eq.time_off):
+                    # rhs reads the row being written: chunks reading
+                    # the accumulated buffer would see earlier chunks'
+                    # writes (Gauss-Seidel) — run monolithic
+                    return None
+            specs = space_index_specs(a)
+            if not specs:
+                continue
+            sd = fn.space_dimensions
+            if not sd or sd[0].name != xd:
+                continue  # no leading-x axis: read whole (aux arrays)
+            sp0 = specs[0]
+            if sp0[0] != 'rel' or sp0[1] != xd:
+                return None  # abs/transposed leading index
+            hl, hr = fn.dev_halo[0]
+            if sp0[2] < -hl or sp0[2] > hr:
+                return None  # tap outside the halo'd window
+            tkk, toff = time_access_of(a)
+            key = (fn.name, tkk, str(toff))
+            ent = rows.setdefault(key, [fn, set()])
+            try:
+                ent[1].add(tuple(space_offsets_of(a, absolute='zero')))
+            except Exception:
+                return None
+    if not rows:
+        return None
+    mat, total = set(), 0
+    for key, (fn, offs) in rows.items():
+        if len(offs) < 3:
+            continue  # 1-2 taps: lazy slab, no materialization
+        space = fn.shape_device[-len(fn.space_dimensions):]
+        total += 4 * int(np.prod(space))
+        mat.add(key)
+    trigger = int(float(os.environ.get('DTPU_XCHUNK_TRIGGER_MB', 88)) * 1e6)
+    target = int(float(os.environ.get('DTPU_XCHUNK_TARGET_MB', 64)) * 1e6)
+    if not mat or total <= trigger:
+        return None
+    nchunks = max(2, -(-total // target))
+    clen = -(-xlen // nchunks)
+    if clen < 16:
+        return None
+    chunks = [(a, min(clen, xlen - a)) for a in range(0, xlen, clen)]
+    return xd, x0, chunks, mat
+
+
 def _exec_dense(eq, bufs, params, t, direction, strips=None,
                 shard_spec=None):
     import jax
@@ -417,6 +539,68 @@ def _exec_dense(eq, bufs, params, t, direction, strips=None,
                 (dn, (0, shard_spec[dn][2]) if dn in shard_spec else ext)
                 for dn, ext in free.items())
         region = OrderedDict(list(region.items()) + list(free.items()))
+    if val is None and not free:
+        plan = _x_chunk_plan(eq, region, t, strips, shard_spec)
+        if plan is not None:
+            xd, px0, chunks, mat = plan
+            fullsl = _write_region_slices(eq)
+            buf = bufs[name]
+            m = fn._time_size
+            row_idx = step_row(t, eq.time_off, m)
+            acc = buf
+            mat_names = sorted({k[0] for k in mat} - {name})
+            for a, clen in chunks:
+                # the target's own reads (u[t], u[t-1]) route through
+                # ``acc``, the post-previous-DUS value: semantically
+                # identical (the DUS only touches the write row, and
+                # the plan declines rhs reads of that row), but it kills
+                # the original buffer's liveness past each chunk write,
+                # so XLA updates every chunk DUS IN PLACE — reading the
+                # original ``buf`` kept it live and copied the whole
+                # buffer per chunk (measured 5x 0.56 ms/step at 384^3;
+                # read-from-acc: 5.04 -> 2.21 ms/step, xchunk_probe2)
+                bufs_i = dict(bufs)
+                bufs_i[name] = acc
+                if a > 0 and mat_names:
+                    # other functions' windows: serialize via a barrier
+                    # paired with the previous chunk's DUS output, else
+                    # XLA CSE-merges every window materialization into
+                    # one upfront fusion that spills all but one window
+                    # to HBM (measured 0.97 ms/step at 384^3)
+                    for rn in mat_names:
+                        b, _ = jax.lax.optimization_barrier(
+                            (bufs[rn], acc))
+                        bufs_i[rn] = b
+                region_i = OrderedDict(region)
+                region_i[xd] = (px0 + a, clen)
+                ctx_i = DenseCtx(bufs_i, params, region_i, t=t,
+                                 direction=direction,
+                                 stride_map=_stride_map(eq),
+                                 window=(xd, px0 + a, clen, mat))
+                val_i = translate(eq.rhs, ctx_i)
+                sl_i = (slice(fullsl[0].start + a,
+                              fullsl[0].start + a + clen),) + fullsl[1:]
+                shape_i = tuple(s.stop - s.start for s in sl_i)
+
+                def _cur(sl=sl_i, src=acc):
+                    # one dynamic_slice (row + chunk window) off the
+                    # ACCUMULATED buffer (chunks write disjoint slabs,
+                    # so the pre-write values are intact; reading the
+                    # original would re-pin its liveness and force the
+                    # per-chunk copies back)
+                    starts = (jnp_int32(row_idx),) + tuple(
+                        jnp_int32(s.start) for s in sl)
+                    sizes = (1,) + tuple(s.stop - s.start for s in sl)
+                    return jax.lax.dynamic_slice(src, starts, sizes)[0]
+
+                val_i = _finalize_val(eq, val_i, _cur, ctx_i, shape_i,
+                                      buf.dtype, jnp)
+                starts = (row_idx,) + tuple(np.int32(s.start) for s in sl_i)
+                acc = jax.lax.dynamic_update_slice(acc, val_i[None], starts)
+            out = dict(bufs)
+            out[name] = acc
+            return out
+
     ctx = DenseCtx(bufs, params, region, t=t, direction=direction,
                    stride_map=_stride_map(eq))
     if val is None:

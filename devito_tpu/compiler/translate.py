@@ -180,9 +180,22 @@ class DenseCtx(BaseCtx):
     """
 
     def __init__(self, buffers, params, region, t=None, direction=1,
-                 stride_map=None):
+                 stride_map=None, window=None):
         super().__init__(buffers, params, t=t, direction=direction)
         self.region = region
+        # ``window``: (dim name, domain start, domain length, mat keys) —
+        # x-chunked execution (executor._x_chunk_plan): accesses to
+        # functions whose LEADING space dim is the window dim read a
+        # [start, start+length+hl+hr) slab of the time-resolved row
+        # instead of the full row. Rows in ``mat keys`` are upcast and
+        # optimization_barrier'd so XLA materializes the slab as its own
+        # buffer — small enough for memory-space assignment to pin in
+        # VMEM, which keeps the ~25 shifted stencil taps VMEM-resident at
+        # grid sizes where the full staged row no longer fits (the
+        # >=320^3 MSA cliff: an unpinned staged row is re-read from HBM
+        # per tap, ~27x traffic).
+        self.window = window
+        self._wcache = {}
         # {parent dim name: (region dim name, factor)} — the write
         # region iterates a spatially-subsampled ConditionalDimension,
         # so accesses indexed by the PARENT read strided positions
@@ -216,10 +229,47 @@ class DenseCtx(BaseCtx):
             return iota
         return super().symbol(sym)
 
+    def _windowed_row(self, fn, e, dom_start, dom_len, mat):
+        """Windowed (x-chunked) time-resolved row: a
+        [dom_start, dom_start+dom_len+hl+hr) slab in buffer coords of
+        the leading space axis (buffer index = halo_left + domain index,
+        so the slab starts at buffer index ``dom_start``). Cached per
+        (fn, time row) so every tap shares one slab."""
+        import jax
+        from .executor import _windowed_slab, _upcast
+        tk, toff = time_access_of(e)
+        key = (fn.name, tk, str(toff))
+        hit = self._wcache.get(key)
+        if hit is not None:
+            return hit
+        hl, hr = fn.dev_halo[0]
+        # one dynamic_slice straight off the (time-stacked) buffer: a
+        # shared full-row extraction would get CSE'd by XLA into a whole
+        # HBM row materialization (measured 1.2 ms/step fixed cost at
+        # 384^3 — the row is bigger than any chunk)
+        win = _windowed_slab(self.buffers, fn, tk, toff, self.t,
+                             self.params, dom_start,
+                             dom_len + hl + hr)
+        win = _upcast(win, fn)
+        if key in mat:
+            (win,) = jax.lax.optimization_barrier((win,))
+        self._wcache[key] = win
+        return win
+
     def access(self, e):
         fn = e.function
-        arr = self._time_resolved(fn, e)
         specs = space_index_specs(e)
+        arr = None
+        wsub = 0
+        if self.window is not None and not fn.is_SparseFunction:
+            wdn, wstart, wlen, mat = self.window
+            sd = fn.space_dimensions
+            if (specs and sd and sd[0].name == wdn
+                    and specs[0][0] == 'rel' and specs[0][1] == wdn):
+                arr = self._windowed_row(fn, e, wstart, wlen, mat)
+                wsub = wstart
+        if arr is None:
+            arr = self._time_resolved(fn, e)
         halo = fn.dev_halo
         last_plain = (specs and specs[-1][0] == 'rel'
                       and specs[-1][1] == fn.space_dimensions[-1].name
@@ -255,7 +305,8 @@ class DenseCtx(BaseCtx):
         # axis's own dim; another one for transposed indexing A[j, i]);
         # absolute indices become broadcast length-1 lines
         slices, idx_dims = [], []
-        for (sp, (hl, hr)) in zip(specs, halo):
+        for ax, (sp, (hl, hr)) in enumerate(zip(specs, halo)):
+            sub = wsub if ax == 0 else 0
             if sp[0] == 'abs':
                 s = hl + sp[1]
                 slices.append(slice(s, s + 1))
@@ -266,13 +317,13 @@ class DenseCtx(BaseCtx):
                 _, dn, off = sp
                 rdn, f = self.stride_map[dn]
                 start, length = self.region[rdn]
-                s = hl + f * start + off
+                s = hl + f * start + off - sub
                 slices.append(slice(s, s + f * (length - 1) + 1, f))
                 idx_dims.append(rdn)
             else:
                 _, dn, off = sp
                 start, length = self.region[dn]
-                s = hl + start + off
+                s = hl + start + off - sub
                 slices.append(slice(s, s + length))
                 idx_dims.append(dn)
         # a tail-extended write region (z-compact targets overcompute into

@@ -1,0 +1,96 @@
+"""x-chunked stencil execution (VMEM working-set split).
+
+Past ~320^3 the staged f32 row of a multi-tap stencil operand no longer
+fits VMEM and XLA re-reads HBM per tap (the 512^3 cliff). The executor
+splits the leading space dim into chunks whose operand slabs fit VMEM
+(compiler/executor.py _x_chunk_plan), reading each chunk's windows from
+the accumulating buffer so every chunk write is an in-place
+dynamic-update-slice. Reference analog: cache blocking
+(devito/passes/clusters/blocking.py:22) re-designed for the TPU memory
+hierarchy.
+
+These tests force the plan on tiny grids via the env knobs and assert
+bit-identical results vs the monolithic path.
+"""
+
+import numpy as np
+import pytest
+
+from devito_tpu import (Grid, Function, TimeFunction, Eq, Operator,
+                        Constant, solve)
+
+
+def _forced(monkeypatch, trigger_mb='0.0001', target_mb='0.0002'):
+    monkeypatch.setenv('DTPU_XCHUNK_TRIGGER_MB', trigger_mb)
+    monkeypatch.setenv('DTPU_XCHUNK_TARGET_MB', target_mb)
+
+
+def _acoustic_run(shape=(48, 44, 40), so=8, nt=12, dtype=np.float32):
+    grid = Grid(shape=shape, extent=tuple(float(s - 1) for s in shape),
+                dtype=dtype)
+    u = TimeFunction(name='u', grid=grid, time_order=2, space_order=so)
+    vp = Function(name='vp', grid=grid, space_order=so)
+    damp = Function(name='damp', grid=grid, space_order=so)
+    vp.data[:] = 1.5
+    vp.data[tuple(s // 2 for s in shape)] = 2.0
+    damp.data[:] = 0.0
+    damp.data[:4] = 0.1
+    u.data[1][tuple(s // 2 for s in shape)] = 1.0
+    m = 1 / (vp * vp)
+    stencil = solve(m * u.dt2 - u.laplace + damp * u.dt, u.forward)
+    op = Operator(Eq(u.forward, stencil), subs=grid.spacing_map)
+    op.apply(time_m=1, time_M=nt, dt=0.05)
+    return np.array(u.data)
+
+
+def test_forced_chunking_matches_monolithic(monkeypatch):
+    ref = _acoustic_run()
+    _forced(monkeypatch)
+    out = _acoustic_run()
+    assert np.array_equal(out, ref)
+
+
+def test_forced_chunking_uneven_extent(monkeypatch):
+    """Leading extent not divisible by the chunk count: the tail chunk
+    is shorter."""
+    ref = _acoustic_run(shape=(50, 36, 40))
+    _forced(monkeypatch)
+    out = _acoustic_run(shape=(50, 36, 40))
+    assert np.array_equal(out, ref)
+
+
+def test_chunk_plan_declines_write_row_read(monkeypatch):
+    """An equation whose rhs reads the row being written must run
+    monolithic (chunks reading the accumulated buffer would see earlier
+    chunks' writes)."""
+    from devito_tpu.compiler.executor import _x_chunk_plan
+    _forced(monkeypatch)
+    grid = Grid(shape=(48, 44, 40))
+    u = TimeFunction(name='u', grid=grid, time_order=2, space_order=8)
+    # u.forward on both sides: monolithic is the only safe execution
+    op = Operator(Eq(u.forward, 0.5 * u.forward + 0.5 * u + u.dx2),
+                  subs=grid.spacing_map)
+    for eq in op._schedule.body:
+        if getattr(eq, 'is_dense', True) and hasattr(eq, 'rhs'):
+            region = {d.name: (0, n) for d, n in
+                      zip(u.space_dimensions, (48, 44, 40))}
+            assert _x_chunk_plan(eq, region, 0, None, None) is None
+
+
+def test_forced_chunking_with_subdomain_bc(monkeypatch):
+    """Chunking composes with a BC strip written by another equation."""
+    def run():
+        grid = Grid(shape=(44, 40, 40))
+        u = TimeFunction(name='u', grid=grid, time_order=2, space_order=8)
+        u.data[1][22, 20, 20] = 1.0
+        c = Constant(name='c', value=0.1)
+        eq = Eq(u.forward, 2 * u - u.backward
+                + c * u.laplace)
+        op = Operator([eq], subs=grid.spacing_map)
+        op.apply(time_m=1, time_M=8)
+        return np.array(u.data)
+
+    ref = run()
+    _forced(monkeypatch)
+    out = run()
+    assert np.array_equal(out, ref)
