@@ -97,3 +97,65 @@ def test_streamed_sharded_forward():
         rec1, u1, _ = solver.forward(save=True)
     assert np.allclose(np.array(rec1.data), rec0, rtol=1e-12, atol=1e-14)
     assert np.allclose(np.array(u1.data), u0, rtol=1e-12, atol=1e-14)
+
+
+@pytest.mark.parametrize('topology', [(2, 2), (4, 1)])
+def test_streamed_sharded_explicit_matches_serial(topology):
+    """Save-streaming on the EXPLICIT halo path: per-chunk save-row
+    windows are pushed/pulled through ShardedRunner.convert/restore
+    around the shard_map'd chunk executable — the reference's MPI +
+    Orchestrator composition (devito/passes/iet/orchestration.py:29 +
+    mpi/routines.py), which round 2 excluded (streamed saves silently
+    fell back to GSPMD)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    from devito_tpu.parallel.distributor import Distributor
+    _, rec0, u0 = _forward((36, 36))
+
+    solver = acoustic_setup(shape=(36, 36), spacing=[12.5, 12.5],
+                            kernel='OT2', nbl=6, tn=120., space_order=4,
+                            preset='layers-isotropic', dtype=np.float64)
+    solver.model.grid._distributor = Distributor(
+        solver.model.grid, topology=topology, devices=jax.devices()[:4])
+    with switchconfig(halo='explicit', **{'save-streaming': 'on',
+                                          'save-budget': u0.nbytes // 6}):
+        op = solver.op_fwd(True)
+        rec1, u1, _ = solver.forward(save=True)
+        assert op._stream_plan is not None, "streaming did not engage"
+        assert op._halo_runner is not None, "explicit path did not engage"
+    assert np.array_equal(np.array(rec1.data), rec0)
+    assert np.array_equal(np.array(u1.data), u0)
+
+
+def test_streamed_sharded_explicit_gradient():
+    """FWI gradient consuming a host-streamed saved wavefield on the
+    explicit sharded path equals the serial fully-resident gradient."""
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    from devito_tpu.parallel.distributor import Distributor
+
+    def grad_run(budget, topology):
+        solver = acoustic_setup(shape=(36, 36), spacing=[12.5, 12.5],
+                                kernel='OT2', nbl=6, tn=120., space_order=4,
+                                preset='layers-isotropic', dtype=np.float64)
+        if topology is not None:
+            solver.model.grid._distributor = Distributor(
+                solver.model.grid, topology=topology,
+                devices=jax.devices()[:4])
+        if budget is None:
+            rec, u, _ = solver.forward(save=True)
+            g, _ = solver.jacobian_adjoint(rec, u, src=solver.geometry.src)
+        else:
+            with switchconfig(halo='explicit',
+                              **{'save-streaming': 'on',
+                                 'save-budget': budget}):
+                rec, u, _ = solver.forward(save=True)
+                g, _ = solver.jacobian_adjoint(rec, u,
+                                               src=solver.geometry.src)
+                assert solver.op_grad()._stream_plan is not None
+                assert solver.op_grad()._halo_runner is not None
+        return np.array(g.data)
+
+    g0 = grad_run(None, None)
+    g1 = grad_run(400_000, (2, 2))
+    assert np.allclose(g1, g0, rtol=1e-12, atol=1e-13)
