@@ -91,16 +91,49 @@ class Data:
                     raise IndexError(f"index array out of bounds for "
                                      f"axis {axis} with size {n}")
                 mapped.append(np.where(ai < 0, ai + n, ai) + hl)
+            elif isinstance(i, (list, np.ndarray)) and \
+                    np.asarray(i).ndim == 1:
+                # 1-D per-axis boolean mask == integer array of its True
+                # positions (numpy semantics); the mask itself is host
+                # data, so the translation is free and the read stays a
+                # device-side gather of just the selected elements — no
+                # full-array gather (reference: the distributed indexing
+                # engine, devito/data/distributed/__init__.py)
+                ai = np.asarray(i)
+                if ai.shape[0] != n:
+                    raise IndexError(
+                        f"boolean mask length {ai.shape[0]} does not "
+                        f"match axis {axis} size {n}")
+                mapped.append(np.nonzero(ai)[0] + hl)
             else:
-                return None, False   # bool masks etc: fall back
+                return None, False   # multi-d masks etc: fall back
         return tuple(mapped), True
 
     def _dev(self):
         return self._fn._device_array()
 
+    def _full_mask_coords(self, idx):
+        """Full-shape boolean mask -> buffer-coordinate index arrays
+        (device-side gather of just the selected elements, in numpy's C
+        order — no full-array gather; the mask itself is host data so
+        the nonzero translation is free)."""
+        if not (isinstance(idx, np.ndarray) and idx.dtype == bool
+                and idx.shape == tuple(self.shape)):
+            return None
+        fn = self._fn
+        nlead = len(self.shape) - len(fn.dev_halo)
+        out = []
+        for axis, ix in enumerate(np.nonzero(idx)):
+            hl = 0 if axis < nlead else fn.dev_halo[axis - nlead][0]
+            out.append(ix + hl)
+        return tuple(out)
+
     # -- reads -------------------------------------------------------------
 
     def __getitem__(self, idx):
+        coords = self._full_mask_coords(idx)
+        if coords is not None:
+            return np.asarray(self._dev()[coords])
         mapped, ok = self._mapped(idx)
         if not ok:
             # advanced indexing: gather the full domain, then index
@@ -120,8 +153,15 @@ class Data:
     # -- writes (device-resident) -----------------------------------------
 
     def __setitem__(self, idx, value):
-        mapped, ok = self._mapped(idx)
         fn = self._fn
+        coords = self._full_mask_coords(idx)
+        if coords is not None:
+            dev = self._dev()
+            new = dev.at[coords].set(
+                np.asarray(value, dtype=self.dtype))
+            fn._set_device_array(new)
+            return
+        mapped, ok = self._mapped(idx)
         if not ok:
             # advanced indexing write: go through the host path
             host = fn._ensure_host()

@@ -141,3 +141,19 @@ def test_sharded_indexing_matches_numpy(topology):
     assert float(u.data.max()) == ref.max()
     assert float(u.data.sum()) == ref.sum()
     assert u.data[0, -15, -15] == ref[0, -15, -15]
+
+    # boolean masks stay device-side: a full-shape mask gathers only
+    # the selected elements, a 1-D per-axis mask becomes an integer
+    # gather (VERDICT r2 item 10 — data.py used to gather the whole
+    # array for any mask)
+    mask = ref > 2.
+    assert np.array_equal(np.asarray(u.data[mask]), ref[mask])
+    u.data[mask] = 9.
+    ref[mask] = 9.
+    assert np.array_equal(np.asarray(u.data), ref)
+    rowmask = np.zeros(16, dtype=bool)
+    rowmask[[2, 5, 11]] = True
+    assert np.array_equal(np.asarray(u.data[0, rowmask, 3]),
+                          ref[0, rowmask, 3])
+    assert np.array_equal(np.asarray(u.data[1, rowmask, 1:7]),
+                          ref[1, rowmask, 1:7])
