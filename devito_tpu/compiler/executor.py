@@ -471,21 +471,36 @@ def _x_chunk_plan(eq, region, t, strips, shard_spec):
                 return None
     if not rows:
         return None
-    mat, total = set(), 0
+    mat, total, rowb, halob = set(), 0, 0, 0
     for key, (fn, offs) in rows.items():
         if len(offs) < 3:
             continue  # 1-2 taps: lazy slab, no materialization
         space = fn.shape_device[-len(fn.space_dimensions):]
-        total += 4 * int(np.prod(space))
+        perrow = 4 * int(np.prod(space[1:]))
+        hl, hr = fn.dev_halo[0]
+        total += perrow * int(space[0])
+        rowb += perrow
+        halob += (hl + hr) * perrow
         mat.add(key)
     trigger = int(float(os.environ.get('DTPU_XCHUNK_TRIGGER_MB', 88)) * 1e6)
     target = int(float(os.environ.get('DTPU_XCHUNK_TARGET_MB', 64)) * 1e6)
     if not mat or total <= trigger:
         return None
-    nchunks = max(2, -(-total // target))
-    clen = -(-xlen // nchunks)
+    # bound the ACTUAL materialized slab bytes (chunk rows + halo rows,
+    # summed over materialized operands) by the target, so the slabs
+    # stay VMEM-pinnable regardless of grid size
+    clen = (target - halob) // rowb if rowb else 0
     if clen < 16:
-        return None
+        # halo rows alone blow the target (very large y*z planes):
+        # a bounded chunk count still beats the ~27x monolithic
+        # re-read traffic, even with unpinnable slabs
+        clen = 16
+    clen = min(clen, xlen)
+    # cap the chunk count: the loop body is unrolled per chunk and
+    # compile time grows superlinearly (17 chunks at 512^3 blew the
+    # 580 s probe budget; 12 compile in ~10 s)
+    nchunks = min(-(-xlen // clen), 12)
+    clen = -(-xlen // nchunks)
     chunks = [(a, min(clen, xlen - a)) for a in range(0, xlen, clen)]
     return xd, x0, chunks, mat
 

@@ -20,12 +20,30 @@ from devito_tpu import (Grid, Function, TimeFunction, Eq, Operator,
                         Constant, solve)
 
 
-def _forced(monkeypatch, trigger_mb='0.0001', target_mb='0.0002'):
+def _forced(monkeypatch, trigger_mb='0.0001', target_mb='1.5'):
+    # target must leave room for the halo rows of the materialized slab
+    # (the plan declines when the per-chunk window cannot fit), so a
+    # forced run uses ~1 MB, giving chunk lengths of ~16-24 rows on the
+    # toy grids below
     monkeypatch.setenv('DTPU_XCHUNK_TRIGGER_MB', trigger_mb)
     monkeypatch.setenv('DTPU_XCHUNK_TARGET_MB', target_mb)
 
 
-def _acoustic_run(shape=(48, 44, 40), so=8, nt=12, dtype=np.float32):
+def _plan_engages(op, space_shape):
+    """The x-chunk plan must actually trigger for the op's stencil eq."""
+    from devito_tpu.compiler.executor import _x_chunk_plan
+    for eq in op._schedule.body:
+        if not hasattr(eq, 'rhs') or getattr(eq, 'is_sparse', False):
+            continue
+        region = {d.name: (0, n) for d, n in
+                  zip(eq.target.space_dimensions, space_shape)}
+        if _x_chunk_plan(eq, region, 0, None, None) is not None:
+            return True
+    return False
+
+
+def _acoustic_run(shape=(48, 44, 40), so=8, nt=12, dtype=np.float32,
+                  expect_plan=None):
     grid = Grid(shape=shape, extent=tuple(float(s - 1) for s in shape),
                 dtype=dtype)
     u = TimeFunction(name='u', grid=grid, time_order=2, space_order=so)
@@ -39,23 +57,25 @@ def _acoustic_run(shape=(48, 44, 40), so=8, nt=12, dtype=np.float32):
     m = 1 / (vp * vp)
     stencil = solve(m * u.dt2 - u.laplace + damp * u.dt, u.forward)
     op = Operator(Eq(u.forward, stencil), subs=grid.spacing_map)
+    if expect_plan is not None:
+        assert _plan_engages(op, shape) == expect_plan
     op.apply(time_m=1, time_M=nt, dt=0.05)
     return np.array(u.data)
 
 
 def test_forced_chunking_matches_monolithic(monkeypatch):
-    ref = _acoustic_run()
+    ref = _acoustic_run(expect_plan=False)
     _forced(monkeypatch)
-    out = _acoustic_run()
+    out = _acoustic_run(expect_plan=True)
     assert np.array_equal(out, ref)
 
 
 def test_forced_chunking_uneven_extent(monkeypatch):
     """Leading extent not divisible by the chunk count: the tail chunk
     is shorter."""
-    ref = _acoustic_run(shape=(50, 36, 40))
+    ref = _acoustic_run(shape=(50, 36, 40), expect_plan=False)
     _forced(monkeypatch)
-    out = _acoustic_run(shape=(50, 36, 40))
+    out = _acoustic_run(shape=(50, 36, 40), expect_plan=True)
     assert np.array_equal(out, ref)
 
 
