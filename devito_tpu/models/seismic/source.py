@@ -107,15 +107,23 @@ class PointSource(SparseTimeFunction):
 
     def resample(self, dt=None, num=None):
         """Return a copy of this source resampled to a new dt or to a
-        fixed number of samples (linear interpolation; the reference
-        uses scipy — examples/seismic/source.py resample)."""
+        fixed number of samples (cubic-spline interpolation like the
+        reference — examples/seismic/source.py resample order=3 — with
+        a linear fallback when scipy is unavailable)."""
         old = self.time_values
         if num is not None:
             new_axis = TimeAxis(start=old[0], stop=old[-1], num=num)
         else:
             new_axis = TimeAxis(start=old[0], stop=old[-1], step=dt)
-        newdata = np.stack([np.interp(new_axis.time_values, old,
-                                      self.data[:, i])
+        try:
+            from scipy.interpolate import InterpolatedUnivariateSpline
+            def interp(col):
+                return InterpolatedUnivariateSpline(
+                    old, col, k=3)(new_axis.time_values)
+        except ImportError:
+            def interp(col):
+                return np.interp(new_axis.time_values, old, col)
+        newdata = np.stack([interp(np.asarray(self.data)[:, i])
                             for i in range(self.npoint)], axis=1)
         return type(self).__bases__[0](
             name=f"{self.name}r", grid=self.grid,
