@@ -159,6 +159,13 @@ class BaseCtx:
         name = sym.name
         if name in self.params:
             return self.params[name]
+        if isinstance(sym, Dimension) and self.t is not None:
+            root = sym.root if sym.is_Derived else sym
+            if root.is_Time:
+                # e.g. sf.inject(expr=time): the loop's time index is a
+                # legal value expression (reference
+                # tests/test_sparse.py:470 test_mpi_no_data)
+                return self.t
         raise CompilationError(f"Unbound symbol {name}")
 
     def _time_resolved(self, fn, access):

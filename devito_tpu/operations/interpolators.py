@@ -112,12 +112,26 @@ class Interpolation:
                              time_dep=True))
         return tmp.function
 
+    def __add__(self, other):
+        # reference API: `[eqs...] + sf.interpolate(...)` builds a flat
+        # equation list (tests/test_sparse.py:483 and many notebooks)
+        return [self] + list(other)
+
+    def __radd__(self, other):
+        return list(other) + [self]
+
     def __repr__(self):
         return f"Interpolation({self.sparse.name} <- {self.expr})"
 
 
 class Injection:
     """Lazy: ``field <- field + scatter(weights * expr)``."""
+
+    def __add__(self, other):
+        return [self] + list(other)
+
+    def __radd__(self, other):
+        return list(other) + [self]
 
     def __init__(self, sparse, field, expr, u_t=None, implicit_dims=None):
         self.sparse = sparse.function
