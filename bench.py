@@ -406,7 +406,11 @@ def main():
     # ascending: bank a number on the cheap grid first (a single
     # sporadic 100-200 s tunnel stall on a big grid must not zero the
     # round — round-1 failure mode), then spend what's left going up
-    sizes = [int(forced)] if forced else [128, 192, 256]
+    # 384/512: the canonical large configs (reference
+    # benchmarks/user/README.md:169 — acoustic 512^3); viable since the
+    # x-chunked VMEM split (PERF_NOTES round-3) removed the >=320^3
+    # cliff. 256 banks the round-2 headline first.
+    sizes = [int(forced)] if forced else [128, 256, 384, 512]
 
     best = None      # (n, rate, note, kind)
     kind = None

@@ -505,6 +505,46 @@ def _x_chunk_plan(eq, region, t, strips, shard_spec):
     return xd, x0, chunks, mat
 
 
+def _zero_align_chunk_write(val, slices, buf_shape, eq, fn, jnp):
+    """Sublane/lane-align a chunk DUS by extending the written slab with
+    zeros over the pristine-zero halo.
+
+    A write whose inner start is tile-misaligned (e.g. y halo 12 with
+    sublane quantum 8) cannot bitcast-fuse: XLA emits a standalone
+    shuffling dynamic-update-slice (measured 0.204 ms/chunk x 12 at
+    512^3 SO=12 — 2.4 ms/step). When the eq writes the axis's full
+    domain range and the function's halo is maintained zero, the halo
+    cells beyond the write are dead-and-zero, so padding the slab with
+    zeros to the aligned window is a no-op on the buffer contents and
+    lets the DUS fuse. The major (chunk) axis needs no alignment."""
+    if getattr(fn, 'halo_state', 'dirty') != 'zero':
+        return val, tuple(slices)
+    slices = list(slices)
+    nsp = len(slices)
+    sshape = fn.shape[1:] if fn.is_TimeFunction else fn.shape
+    pads = [(0, 0)] * nsp
+    changed = False
+    for ax, q in ((nsp - 1, 128), (nsp - 2, 8)):
+        if ax <= 0:
+            continue  # the chunked major axis needs no alignment
+        if tuple(eq.region[ax]) != (0, sshape[ax]):
+            continue  # sub-domain write: halo cells not provably dead
+        s, e = slices[ax].start, slices[ax].stop
+        ns = (s // q) * q
+        if ns == s:
+            # an aligned start keeps SO=8-style writes on their exact
+            # monolithic-identical path (no reshaping pad at all)
+            continue
+        ext = buf_shape[ax + 1]  # +1: lead time axis (stepping target)
+        ne = min(-(-e // q) * q, ext)
+        pads[ax] = (s - ns, ne - e)
+        slices[ax] = slice(ns, ne)
+        changed = True
+    if not changed:
+        return val, tuple(slices)
+    return jnp.pad(val, pads), tuple(slices)
+
+
 def _exec_dense(eq, bufs, params, t, direction, strips=None,
                 shard_spec=None):
     import jax
@@ -610,6 +650,8 @@ def _exec_dense(eq, bufs, params, t, direction, strips=None,
 
                 val_i = _finalize_val(eq, val_i, _cur, ctx_i, shape_i,
                                       buf.dtype, jnp)
+                val_i, sl_i = _zero_align_chunk_write(
+                    val_i, sl_i, buf.shape, eq, fn, jnp)
                 starts = (row_idx,) + tuple(np.int32(s.start) for s in sl_i)
                 acc = jax.lax.dynamic_update_slice(acc, val_i[None], starts)
             out = dict(bufs)
@@ -1163,6 +1205,18 @@ def build_runner(schedule, write_names, stepping_info=None, errctl=None,
                 continue
             fn = it.target
             if fn.name not in raw_bufs:
+                continue
+            # x-chunked execution supersedes the strip: the chunk plan
+            # declines when a strip exists, and past the VMEM cliff the
+            # chunked path wins by far more than aligned-DUS lanes save
+            # (512^3 SO=12 ran 34.8 ms/step monolithic-with-strip vs
+            # ~4 ms chunked; the strip only existed because halo 12 is
+            # sublane-misaligned, while SO=8's halo 8 is aligned)
+            probe_region = OrderedDict(
+                (d.name, (a, b - a))
+                for d, (a, b) in zip(fn.space_dimensions, it.region))
+            if _x_chunk_plan(it, probe_region, 0, None,
+                             shard_spec) is not None:
                 continue
             sshape = fn.shape[1:] if fn.is_TimeFunction else fn.shape
             buf = raw_bufs[fn.name]  # canonical (m, ...) array

@@ -63,10 +63,13 @@ def _acoustic_run(shape=(48, 44, 40), so=8, nt=12, dtype=np.float32,
     return np.array(u.data)
 
 
-def test_forced_chunking_matches_monolithic(monkeypatch):
-    ref = _acoustic_run(expect_plan=False)
-    _forced(monkeypatch)
-    out = _acoustic_run(expect_plan=True)
+@pytest.mark.parametrize('so', [8, 12])
+def test_forced_chunking_matches_monolithic(monkeypatch, so):
+    """so=12's halo start is sublane-misaligned, exercising the
+    zero-halo aligned chunk DUS (_zero_align_chunk_write)."""
+    ref = _acoustic_run(so=so, expect_plan=False)
+    _forced(monkeypatch, target_mb='2' if so == 12 else '1.5')
+    out = _acoustic_run(so=so, expect_plan=True)
     assert np.array_equal(out, ref)
 
 
