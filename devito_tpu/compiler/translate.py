@@ -29,8 +29,11 @@ __all__ = ['translate', 'DenseCtx', 'SparseCtx']
 def _fn_map():
     import jax.numpy as jnp
     return {
+        # NB: sympy.sqrt is a function (not a class) — sqrt exprs are
+        # Pow(x, 1/2) and handled above; listing it here made
+        # isinstance() raise for any expr reaching this loop
         sympy.sin: jnp.sin, sympy.cos: jnp.cos, sympy.tan: jnp.tan,
-        sympy.exp: jnp.exp, sympy.log: jnp.log, sympy.sqrt: jnp.sqrt,
+        sympy.exp: jnp.exp, sympy.log: jnp.log,
         sympy.sinh: jnp.sinh, sympy.cosh: jnp.cosh, sympy.tanh: jnp.tanh,
         sympy.asin: jnp.arcsin, sympy.acos: jnp.arccos,
         sympy.atan: jnp.arctan, sympy.atan2: jnp.arctan2,
@@ -56,6 +59,15 @@ def translate(expr, ctx):
         return float(expr)
     if expr is sympy.pi:
         return float(np.pi)
+    if expr is sympy.I:
+        # complex fields are first-class on XLA (reference parity:
+        # tests/test_dtypes.py complex derivative/reduction suite)
+        return 1j
+    if isinstance(expr, sympy.Number) or (expr.is_number
+                                          and expr.is_complex
+                                          and not expr.free_symbols):
+        c = complex(expr)
+        return c if c.imag else c.real
     if isinstance(expr, sympy.Symbol):
         return ctx.symbol(expr)
     if isinstance(expr, sympy.Add):

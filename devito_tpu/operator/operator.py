@@ -662,9 +662,18 @@ class Operator:
         if self._grid is not None:
             for s, v in self._grid.spacing_map.items():
                 params[s.name] = float(v)
+        def _scalar(sym, v):
+            # complex Constants stay complex (reference
+            # tests/test_dtypes.py test_complex_override)
+            dt = getattr(sym, 'dtype', None)
+            if dt is not None and np.issubdtype(np.dtype(dt),
+                                                np.complexfloating):
+                return np.dtype(dt).type(complex(v))
+            return float(v)
+
         for name, s in self._symbols.items():
             if isinstance(s, Constant):
-                params[name] = float(s.value)
+                params[name] = _scalar(s, s.value)
         for name in self._symbols:
             if name in kwargs:
                 v = kwargs.pop(name)
@@ -672,7 +681,7 @@ class Operator:
                     # reference idiom: op.apply(t=t) passing the Constant
                     # itself reads its current data
                     v = v.value
-                params[name] = float(v)
+                params[name] = _scalar(self._symbols[name], v)
             elif name not in params:
                 raise InvalidArgument(f"Missing runtime value for `{name}`")
         # always accept dt / spacing overrides even when folded out of the
