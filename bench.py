@@ -43,19 +43,11 @@ METRIC = "acoustic3d_so8_forward_gpts_per_chip"
 
 
 def roofline_gpts(device_kind, bytes_per_point):
-    """HBM-bandwidth roofline in GPts/s for a memory-bound stencil."""
-    kind = device_kind.lower()
-    if 'v5p' in kind or 'v5 p' in kind:
-        bw = 2765e9
-    elif 'v5' in kind:  # v5e / v5 lite
-        bw = 819e9
-    elif 'v4' in kind:
-        bw = 1228e9
-    elif 'v6' in kind:
-        bw = 1640e9
-    else:  # CPU or unknown: report vs an arbitrary 100 GB/s
-        bw = 100e9
-    return bw / bytes_per_point / 1e9
+    """HBM-bandwidth roofline in GPts/s for a memory-bound stencil
+    (delegates to the platform registry, devito_tpu/arch.py)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from devito_tpu.arch import roofline_gpts as _r
+    return _r(device_kind, bytes_per_point)
 
 
 # ---------------------------------------------------------------- child

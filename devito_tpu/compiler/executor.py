@@ -445,11 +445,20 @@ def _x_chunk_plan(eq, region, t, strips, shard_spec):
                 return None
             if fn.name == tname:
                 tkk, toff = time_access_of(a)
-                if tkk == eq.time_kind and str(toff) == str(eq.time_off):
-                    # rhs reads the row being written: chunks reading
-                    # the accumulated buffer would see earlier chunks'
-                    # writes (Gauss-Seidel) — run monolithic
-                    return None
+                if tkk == eq.time_kind:
+                    # rhs reads of the row being written would see earlier
+                    # chunks' writes through ``acc`` (Gauss-Seidel). Rows
+                    # alias MODULO the time buffer size: with m=2, a
+                    # u.backward read (t-1) is the same physical row as
+                    # the u.forward write (t+1) — textual offset equality
+                    # missed that (silent wrong numbers past the trigger)
+                    try:
+                        aliased = ((int(toff) - int(eq.time_off))
+                                   % max(int(fn.function._time_size), 1) == 0)
+                    except (TypeError, ValueError):
+                        aliased = True  # unresolvable offset: be safe
+                    if aliased:
+                        return None
             specs = space_index_specs(a)
             if not specs:
                 continue
@@ -686,7 +695,11 @@ def _exec_dense(eq, bufs, params, t, direction, strips=None,
                                 else jnp.finfo(val.dtype).max)
                         val = jnp.where(live, val, fill)
                     else:
-                        val = val * live.astype(val.dtype)
+                        # where, not multiply: dead-padded cells may hold
+                        # inf/nan from the rhs (e.g. 1/f on a zero pad)
+                        # and 0*inf = nan would poison the psum
+                        val = jnp.where(live, val,
+                                        jnp.zeros((), val.dtype))
             ax = tuple(range(nt_ax, len(region)))
             if eq.reduction == 'max':
                 val = jnp.max(val, axis=ax)

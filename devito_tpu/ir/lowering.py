@@ -8,6 +8,7 @@ equations lower directly to slice-algebra over padded jax buffers, so the
 four reference IRs collapse into one.
 """
 
+import numpy as np
 import sympy
 
 from ..types.basic import AbstractFunction, retrieve_functions
@@ -350,6 +351,31 @@ def lower_one(eq):
                      cond_factor=cond_factor, lhs_access=lhs)
 
 
+def _normalize_subs(subs):
+    """Re-sympify numeric substitution values at full (53-bit) precision.
+
+    ``grid.spacing_map`` carries grid-dtype scalars (np.float32 by
+    default, reference parity); sympy tags those Float(prec=24), and a
+    single 24-bit operand downgrades every constant fold it touches —
+    FD weights like 4/3 were reaching the trace as float32-rounded
+    values even for fp64/complex128 functions. Values are preserved
+    exactly (float32 -> float64 is exact); only the working precision
+    of the symbolic fold is restored to double."""
+    if not subs:
+        return subs
+    out = {}
+    for k, v in subs.items():
+        if isinstance(v, (np.floating, float)):
+            out[k] = sympy.Float(float(v), precision=53)
+        elif isinstance(v, (np.complexfloating, complex)):
+            c = complex(v)
+            out[k] = (sympy.Float(c.real, precision=53)
+                      + sympy.I * sympy.Float(c.imag, precision=53))
+        else:
+            out[k] = v
+    return out
+
+
 def lower_expressions(expressions, subs=None, cire=None):
     """Evaluate + lower a list of user expressions into a Schedule.
 
@@ -357,6 +383,8 @@ def lower_expressions(expressions, subs=None, cire=None):
     extraction pass (opt='noop' mode)."""
     from ..operations.interpolators import Interpolation, Injection
     from ..parameters import configuration
+
+    subs = _normalize_subs(subs)
 
     flat = list(_flatten_exprs(expressions))
     if cire is None:

@@ -114,24 +114,31 @@ class Interpolation:
 
     def __add__(self, other):
         # reference API: `[eqs...] + sf.interpolate(...)` builds a flat
-        # equation list (tests/test_sparse.py:483 and many notebooks)
-        return [self] + list(other)
+        # equation list (tests/test_sparse.py:483 and many notebooks);
+        # non-iterable operands (another Interpolation/Injection, a bare
+        # Eq) coerce to one-element lists, as in the reference where both
+        # sides are already plain lists
+        return [self] + _as_eqlist(other)
 
     def __radd__(self, other):
-        return list(other) + [self]
+        return _as_eqlist(other) + [self]
 
     def __repr__(self):
         return f"Interpolation({self.sparse.name} <- {self.expr})"
+
+
+def _as_eqlist(other):
+    return list(other) if hasattr(other, '__iter__') else [other]
 
 
 class Injection:
     """Lazy: ``field <- field + scatter(weights * expr)``."""
 
     def __add__(self, other):
-        return [self] + list(other)
+        return [self] + _as_eqlist(other)
 
     def __radd__(self, other):
-        return list(other) + [self]
+        return _as_eqlist(other) + [self]
 
     def __init__(self, sparse, field, expr, u_t=None, implicit_dims=None):
         self.sparse = sparse.function

@@ -1278,12 +1278,25 @@ class Operator:
         self._add_sections(summary, elapsed, nsteps)
         summary.add_glb(elapsed, flops=flops, points=points, traffic=traffic)
         g = summary.globals['fdlike']
+        # %-of-roofline vs the detected platform's HBM bandwidth
+        # (reference analog: the archinfo platform registry feeding
+        # Advisor roofline reports; devito/arch/archinfo.py:765-1239)
+        from ..arch import get_platform, roofline_fraction
+        plat = get_platform()
+        summary.platform = plat
+        roof = roofline_fraction(plat, traffic, elapsed)
+        rtxt = (f", {100 * roof:.0f}% of {plat.name} HBM roofline"
+                if roof is not None else "")
         log_perf(f"Operator `{self._name}` ran in {elapsed:.4f} s "
-                 f"[{g.gpointss:.2f} GPts/s, {g.gflopss:.2f} GFlops/s]")
+                 f"[{g.gpointss:.2f} GPts/s, {g.gflopss:.2f} GFlops/s"
+                 f"{rtxt}]")
         for name, e in summary.items():
+            tr = getattr(self, '_section_traffic', {}).get(name, 0)
+            rf = roofline_fraction(plat, tr, e.time)
+            sr = f", {100 * rf:.0f}% roofline" if rf is not None else ""
             log_perf(f"  {name} ({summary.labels.get(name, '')}): "
                      f"{e.time:.4f} s, {e.gflopss:.2f} GFlops/s, "
-                     f"{e.gpointss:.2f} GPts/s")
+                     f"{e.gpointss:.2f} GPts/s{sr}")
         return summary
 
     def _add_sections(self, summary, elapsed, nsteps):
@@ -1298,11 +1311,15 @@ class Operator:
         across all sections (reference analog: per-Section C timers,
         passes/iet/instrument.py:16)."""
         secs = getattr(self, '_sections', None) or []
+        self._section_traffic = {name: tr * nsteps
+                                 for (name, _, _, _, tr, _) in secs}
         if not secs:
+            traffic0 = self._traffic_per_step * nsteps
+            self._section_traffic = {'section0': traffic0}
             summary.add('section0', elapsed,
                         flops=self._flops_per_step * nsteps,
                         points=self._points_per_step * nsteps,
-                        traffic=self._traffic_per_step * nsteps)
+                        traffic=traffic0)
             return
         meas = getattr(self, '_measured_secs', None)
         times = None

@@ -60,13 +60,21 @@ class AbstractSparseFunction(DiscreteFunction):
                                       default_value=cls._npoint)
         cls._dimensions = cls._make_dimensions()
         cls._space_dimensions = ()
-        # coordinates host/device buffers
+        # coordinates host/device buffers — physically real positions:
+        # complex-valued functions keep real coordinates (the reference's
+        # coordinates SubFunction is always grid-dtype real;
+        # devito/types/sparse.py), and jnp.floor in the interpolation
+        # geometry rejects complex inputs
+        cdtype = cls._dtype
+        if np.issubdtype(cdtype, np.complexfloating):
+            cdtype = np.dtype(np.float32 if cdtype == np.complex64
+                              else np.float64)
         if coordinates is not None:
             coords = np.ascontiguousarray(
-                np.asarray(coordinates, dtype=cls._dtype))
+                np.asarray(coordinates, dtype=cdtype))
         else:
             nd = grid.dim if grid is not None else 0
-            coords = np.zeros((cls._npoint, nd), dtype=cls._dtype)
+            coords = np.zeros((cls._npoint, nd), dtype=cdtype)
         cls._coords_host = coords
         cls._coords_dev = None
         cls._host_buf = None

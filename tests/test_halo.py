@@ -430,6 +430,32 @@ def test_explicit_path_reduction_matches_serial():
     assert abs(m_par - m_ser) / max(abs(m_ser), 1e-30) < 1e-5
 
 
+def test_uneven_sum_reduction_inf_in_dead_pad():
+    """Uneven shards: a sum reduction whose rhs evaluates to inf/nan in
+    the dead-padded cells (1/f with f=0 there) must not poison the psum
+    — the dead mask uses where, not multiply (0*inf = nan; advisor r3)."""
+    from devito_tpu import Inc, Function, Dimension
+
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+
+    def run(topology):
+        # 29x27 does not divide (4,2): last shards carry dead padding
+        grid = _mkgrid((29, 27), topology)
+        f = Function(name='f', grid=grid)
+        f.data[:] = 2.0  # rhs 1/f finite on live cells only
+        s = Function(name='s', shape=(1,),
+                     dimensions=(Dimension('i0'),), dtype=np.float64)
+        op = Operator([Inc(s, 1 / f)])
+        op.apply()
+        return float(s.data[0])
+
+    s_ser = run(None)
+    s_par = run((4, 2))
+    assert np.isfinite(s_par), "dead-pad inf poisoned the psum"
+    assert abs(s_par - s_ser) / abs(s_ser) < 1e-5
+
+
 def test_explicit_path_matrix_sparse_matches_serial():
     """MatrixSparseTimeFunction inject+interpolate on the explicit halo
     path: replicated points, shard-masked corners, psum'd partials

@@ -182,3 +182,28 @@ def test_sparse_function_no_time():
                        coordinates=[[5., 5.]])
     Operator(q.interpolate(a)).apply()
     assert abs(float(np.asarray(q.data)[0]) - 7.) < 1e-6
+
+
+def test_interp_injection_concatenation():
+    """Interpolation + Injection (and + a bare Eq) concatenate like the
+    reference's plain lists (advisor r3: list(other) raised on
+    non-iterables)."""
+    from devito_tpu import TimeFunction, Eq
+    grid = Grid(shape=(11, 11), extent=(10., 10.))
+    u = TimeFunction(name='u', grid=grid, space_order=2, time_order=1)
+    sf = SparseTimeFunction(name='sf', grid=grid, npoint=1, nt=4,
+                            coordinates=[[5., 5.]])
+    sf2 = SparseTimeFunction(name='sf2', grid=grid, npoint=1, nt=4,
+                             coordinates=[[5., 5.]])
+    interp = sf.interpolate(u)
+    inj = sf2.inject(field=u.forward, expr=sf2)
+    both = interp + inj
+    assert isinstance(both, list) and len(both) == 2
+    eq = Eq(u.forward, u)
+    assert len(sf.interpolate(u) + eq) == 2
+    assert len(eq + sf.interpolate(u)) == 2
+    sf2.data[:] = 1.
+    op = Operator([Eq(u.forward, u)] + (sf.interpolate(u)
+                                        + sf2.inject(u.forward, expr=sf2)))
+    op.apply(time_m=0, time_M=1, dt=1.0)
+    assert abs(float(np.asarray(u.data)[0, 5, 5]) - 2.) < 1e-6

@@ -221,3 +221,27 @@ def test_disjoint_reads_of_strip_write(ctx):
              and d.source.item_index != d.sink.item_index]
     assert not cross
     assert scope.independent(0, 1)
+
+
+def test_spacing_subs_keep_double_precision():
+    """grid.spacing_map carries grid-dtype (fp32) scalars; substituting
+    them must NOT downgrade the FD-weight fold to 24-bit sympy floats —
+    fp64/complex128 runs were receiving float32-rounded weights (e.g.
+    4/3 -> 1.3333334; round-4 fix: ir/lowering.py _normalize_subs)."""
+    import sympy
+    import numpy as np
+    from devito_tpu import Grid, TimeFunction, Eq, Operator
+
+    grid = Grid(shape=(24, 24), extent=(23., 23.))  # default fp32 grid
+    u = TimeFunction(name='u', grid=grid, dtype=np.float64,
+                     time_order=2, space_order=4)
+    op = Operator(Eq(u.forward, u.laplace), subs=grid.spacing_map)
+    for leq in op._schedule.all_items:
+        if not hasattr(leq, 'rhs'):
+            continue
+        for f in leq.rhs.atoms(sympy.Float):
+            assert f._prec >= 53, (
+                f"FD weight {f!r} folded below double precision")
+        # the 4/3 weight is the fp64-exact value, not float32-rounded
+        vals = {float(f) for f in leq.rhs.atoms(sympy.Float)}
+        assert any(abs(v - 4.0 / 3.0) < 1e-15 for v in vals), vals

