@@ -402,7 +402,11 @@ def main():
     # benchmarks/user/README.md:169 — acoustic 512^3); viable since the
     # x-chunked VMEM split (PERF_NOTES round-3) removed the >=320^3
     # cliff. 256 banks the round-2 headline first.
-    sizes = [int(forced)] if forced else [128, 256, 384, 512]
+    # 200 is deliberately lane-UNALIGNED (200 % 128 != 0): it guards the
+    # arbitrary-extent z-compact path (dead zero tail, _zdev_pad) with a
+    # driver-captured number — a regression of the lane-cliff fix shows
+    # up as 200^3 falling far below its aligned neighbours' rate
+    sizes = [int(forced)] if forced else [128, 200, 256, 384, 512]
 
     best = None      # (n, rate, note, kind)
     kind = None

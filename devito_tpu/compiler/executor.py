@@ -480,20 +480,26 @@ def _x_chunk_plan(eq, region, t, strips, shard_spec):
                 return None
     if not rows:
         return None
-    mat, total, rowb, halob = set(), 0, 0, 0
+    mat, storeb, rowb, halob = set(), 0, 0, 0
     for key, (fn, offs) in rows.items():
         if len(offs) < 3:
             continue  # 1-2 taps: lazy slab, no materialization
         space = fn.shape_device[-len(fn.space_dimensions):]
         perrow = 4 * int(np.prod(space[1:]))
         hl, hr = fn.dev_halo[0]
-        total += perrow * int(space[0])
+        # trigger on STORAGE bytes: the monolithic path's overhead is the
+        # staged-row copy at storage dtype (fp32 rows cost 2x bf16 ones),
+        # so fp32 wavefields cross into chunking at half the grid size —
+        # measured 256^3 fp32: mono 22.6 / chunked 26.3 GPts/s, while
+        # 256^3 bf16 stays mono (34.4 vs 33.3 chunked)
+        itemb = np.dtype(fn.function.storage_dtype).itemsize
+        storeb += itemb * int(np.prod(space))
         rowb += perrow
         halob += (hl + hr) * perrow
         mat.add(key)
-    trigger = int(float(os.environ.get('DTPU_XCHUNK_TRIGGER_MB', 88)) * 1e6)
+    trigger = int(float(os.environ.get('DTPU_XCHUNK_TRIGGER_MB', 60)) * 1e6)
     target = int(float(os.environ.get('DTPU_XCHUNK_TARGET_MB', 64)) * 1e6)
-    if not mat or total <= trigger:
+    if not mat or storeb <= trigger:
         return None
     # bound the ACTUAL materialized slab bytes (chunk rows + halo rows,
     # summed over materialized operands) by the target, so the slabs
@@ -555,7 +561,7 @@ def _zero_align_chunk_write(val, slices, buf_shape, eq, fn, jnp):
 
 
 def _exec_dense(eq, bufs, params, t, direction, strips=None,
-                shard_spec=None):
+                shard_spec=None, gspmd=False):
     import jax
     import jax.numpy as jnp
     from .translate import translate, DenseCtx
@@ -603,7 +609,7 @@ def _exec_dense(eq, bufs, params, t, direction, strips=None,
                 (dn, (0, shard_spec[dn][2]) if dn in shard_spec else ext)
                 for dn, ext in free.items())
         region = OrderedDict(list(region.items()) + list(free.items()))
-    if val is None and not free:
+    if val is None and not free and not gspmd:
         plan = _x_chunk_plan(eq, region, t, strips, shard_spec)
         if plan is not None:
             xd, px0, chunks, mat = plan
@@ -748,6 +754,17 @@ def _exec_dense(eq, bufs, params, t, direction, strips=None,
         if not val_fullz and strip is not None:
             val, slices = _align_lane_write(val, slices, strip,
                                             buf.shape, row_idx, jnp)
+        if gspmd:
+            # full-extent update: GSPMD cannot partition a DUS whose
+            # update is smaller than the operand along a sharded axis —
+            # it all-gathers BOTH the update and the whole carry buffer
+            # (measured 12 all-gathers/step on a (4,2,1) mesh). Expanding
+            # the written slab to the full space extents (zeros over a
+            # pristine-zero halo; old row values otherwise) makes the DUS
+            # shard-local: update and operand shard identically and the
+            # only dynamic start is the unsharded time row.
+            val, slices = _expand_full_extent_write(
+                val, slices, buf, fn, row_idx, jnp, jax)
         starts = (row_idx,) + tuple(np.int32(sl.start) for sl in slices)
         out[name] = jax.lax.dynamic_update_slice(buf, val[None], starts)
         return out
@@ -786,6 +803,33 @@ def _exec_dense(eq, bufs, params, t, direction, strips=None,
         buf = _write(buf)
     out[name] = buf
     return out
+
+
+def _expand_full_extent_write(val, slices, buf, fn, row_idx, jnp, jax):
+    """Expand a stepping write to the target's full space extents.
+
+    Used on the GSPMD fallback path (see the caller): a partial-extent
+    dynamic-update-slice forces the SPMD partitioner to all-gather the
+    carry buffer and the update; a full-extent update partitions
+    locally. Halo cells are filled with zeros when the function's halo
+    is maintained pristine-zero, else with the row's current values via
+    an elementwise (trivially partitionable) ``where``."""
+    pads = [(sl.start, buf.shape[i + 1] - sl.stop)
+            for i, sl in enumerate(slices)]
+    if all(p == (0, 0) for p in pads):
+        return val, tuple(slices)
+    full = jnp.pad(val, pads)
+    if getattr(fn, 'halo_state', 'dirty') != 'zero':
+        cur = jax.lax.dynamic_index_in_dim(buf, row_idx, 0, keepdims=False)
+        mask = jnp.ones((), bool)
+        for ax, sl in enumerate(slices):
+            idx = jnp.arange(buf.shape[ax + 1])
+            shp = [1] * len(slices)
+            shp[ax] = buf.shape[ax + 1]
+            mask = mask & ((idx >= sl.start) & (idx < sl.stop)).reshape(shp)
+        full = jnp.where(mask, full, cur)
+    return full, tuple(slice(0, buf.shape[i + 1])
+                       for i in range(len(slices)))
 
 
 def _finalize_val(eq, val, current, ctx, region_shape, dtype, jnp):
@@ -1072,7 +1116,7 @@ def _exec_sparse(item, bufs, params, t, geom_cache, direction,
 
 def build_runner(schedule, write_names, stepping_info=None, errctl=None,
                  anchor=0, exchange=None, shard_spec=None,
-                 lane_strips=True):
+                 lane_strips=True, gspmd=False):
     """Build ``run(wbufs, rbufs, params, time_m, time_M) -> wbufs``.
 
     ``stepping_info``: {fn name: nslots} for rolling-buffer TimeFunctions;
@@ -1186,7 +1230,7 @@ def build_runner(schedule, write_names, stepping_info=None, errctl=None,
             with ctx:
                 if isinstance(it, LoweredEq):
                     bufs = _exec_dense(it, bufs, params, t, direction,
-                                       strips, shard_spec)
+                                       strips, shard_spec, gspmd)
                 elif isinstance(it, LoweredSparse):
                     bufs = _exec_sparse(it, bufs, params, t, geom_cache,
                                         direction, shard_spec)

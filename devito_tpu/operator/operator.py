@@ -621,7 +621,7 @@ class Operator:
                 self._runner_gspmd = build_runner(
                     self._schedule, tuple(self._writes),
                     stepping_info=self._stepping_info,
-                    errctl=self._errctl, lane_strips=False)
+                    errctl=self._errctl, lane_strips=False, gspmd=True)
             base_runner = self._runner_gspmd
         self._runner_sel = self._bounded_runner(sbounds) if sbounds \
             else base_runner

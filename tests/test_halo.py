@@ -377,7 +377,10 @@ def test_gspmd_per_step_collectives_pinned():
         c3 = _while_body_counts(compiled.as_text())
         assert c3['collective-permute'] > 0
         assert c3['all-to-all'] == 0
-        assert c3['all-gather'] <= 12, c3
+        # full-extent stepping writes keep the DUS shard-local: zero
+        # all-gathers (was 12 when GSPMD replicated the partial-update
+        # DUS; <=2 leaves headroom for partitioner drift only)
+        assert c3['all-gather'] <= 2, c3
 
         grid2 = _mkgrid((32, 32), (4, 2))
         u2 = TimeFunction(name='u2', grid=grid2, time_order=2,
