@@ -30,6 +30,8 @@ from .types import (Grid, SubDomain, SubDomainSet, Dimension, SpaceDimension,  #
                     ConditionalDimension, DefaultDimension, Constant,
                     Function, TimeFunction, Eq, Inc, ReduceMax, ReduceMin,
                     dimensions, NODE, CELL)
+from .types.relational import (Le, Lt, Ge, Gt, Ne,  # noqa
+                               relational_min, relational_max)
 from .types.sparse import (SparseFunction, SparseTimeFunction,  # noqa
                            PrecomputedSparseFunction,
                            PrecomputedSparseTimeFunction,

@@ -267,7 +267,9 @@ def _windowed_slab(bufs, fn, tk, toff, t, params, x0, xlen):
     buf = bufs[fn.name]
     ri = _time_row_index(fn, tk, toff, t, params)
     if ri is None:
-        return jax.lax.slice_in_dim(buf, x0, x0 + xlen, axis=0)
+        # dynamic form: x0 is traced under the rolled chunk loop
+        return jax.lax.dynamic_slice_in_dim(buf, jnp_int32(x0), xlen,
+                                            axis=0)
     starts = (jnp_int32(ri), jnp_int32(x0)) + tuple(
         jnp_int32(0) for _ in range(buf.ndim - 2))
     sizes = (1, xlen) + tuple(buf.shape[2:])
@@ -419,6 +421,13 @@ def _x_chunk_plan(eq, region, t, strips, shard_spec):
     or sublane alignment. Returns (xdim name, region x start,
     [(offset, length)...], materialize keys) or None (run monolithic).
 
+    Returns (xd, x0, chunks, mat, rolled). ``rolled`` plans execute as a
+    ``lax.fori_loop`` over equal-length chunks (the last start clamped,
+    overlap-recomputing a few rows) — one chunk body compiled once, so
+    the chunk count is no longer bounded by unrolled compile time (12
+    unrolled chunks compile in ~10 s but 17 blew a 580 s budget; the cap
+    forced oversized, unpinnable slabs at 512^3 SO=12 / fp32).
+
     Reference analog: cache blocking (devito/passes/clusters/blocking.py)
     — re-designed as a VMEM working-set split, the TPU's actual cache.
     """
@@ -436,6 +445,7 @@ def _x_chunk_plan(eq, region, t, strips, shard_spec):
     if getattr(d0, 'is_Conditional', False) or d0.name != xd:
         return None
     tname = eq.target.function.name
+    nonlead_x = False
     rows = {}
     exprs = [eq.rhs] + ([eq.condition] if eq.condition is not None else [])
     for ex in exprs:
@@ -462,6 +472,12 @@ def _x_chunk_plan(eq, region, t, strips, shard_spec):
             specs = space_index_specs(a)
             if not specs:
                 continue
+            # an access indexing the chunk axis on a NON-leading axis
+            # (transposed reads) slices by a start that is traced under
+            # the rolled loop — those plans stay unrolled (capped)
+            for spj in specs[1:]:
+                if spj[0] == 'rel' and spj[1] == xd:
+                    nonlead_x = True
             sd = fn.space_dimensions
             if not sd or sd[0].name != xd:
                 continue  # no leading-x axis: read whole (aux arrays)
@@ -511,13 +527,26 @@ def _x_chunk_plan(eq, region, t, strips, shard_spec):
         # re-read traffic, even with unpinnable slabs
         clen = 16
     clen = min(clen, xlen)
-    # cap the chunk count: the loop body is unrolled per chunk and
-    # compile time grows superlinearly (17 chunks at 512^3 blew the
-    # 580 s probe budget; 12 compile in ~10 s)
-    nchunks = min(-(-xlen // clen), 12)
+    max_unroll = int(os.environ.get('DTPU_XCHUNK_MAX_UNROLL', 12))
+    force_n = os.environ.get('DTPU_XCHUNK_FORCE_N')
+    nchunks = -(-xlen // clen)
+    if force_n:
+        nchunks = max(1, min(int(force_n), xlen))
+    if nchunks > max_unroll and nonlead_x:
+        # rolled bodies cannot slice a traced start on a non-leading
+        # axis: stay unrolled at the compile-time cap
+        nchunks = max_unroll
     clen = -(-xlen // nchunks)
-    chunks = [(a, min(clen, xlen - a)) for a in range(0, xlen, clen)]
-    return xd, x0, chunks, mat
+    nchunks = -(-xlen // clen)
+    rolled = nchunks > max_unroll
+    if rolled:
+        # equal-length chunks, last start clamped (the overlap rows
+        # recompute identical values: chunks never read the write row)
+        chunks = [(min(a, xlen - clen), clen)
+                  for a in range(0, xlen, clen)]
+    else:
+        chunks = [(a, min(clen, xlen - a)) for a in range(0, xlen, clen)]
+    return xd, x0, chunks, mat, rolled
 
 
 def _zero_align_chunk_write(val, slices, buf_shape, eq, fn, jnp):
@@ -558,6 +587,71 @@ def _zero_align_chunk_write(val, slices, buf_shape, eq, fn, jnp):
     if not changed:
         return val, tuple(slices)
     return jnp.pad(val, pads), tuple(slices)
+
+
+def _exec_chunks_rolled(eq, bufs, params, t, direction, plan, region):
+    """x-chunked execution as a ``lax.fori_loop`` over equal-length
+    chunks (traced chunk start). Semantically identical to the unrolled
+    chunk loop in ``_exec_dense`` — same slab windows, same
+    read-from-accumulator DUS — but the body compiles ONCE, so the chunk
+    count is free: slabs can be sized to pin in VMEM at any grid size
+    (the unrolled path's 12-chunk compile cap forced 73 MB slabs at
+    512^3 SO=12, past memory-space assignment's budget)."""
+    import jax
+    import jax.numpy as jnp
+    from .translate import translate, DenseCtx
+
+    xd, px0, chunks, mat, _ = plan
+    fn = eq.target
+    name = fn.name
+    clen = chunks[0][1]
+    xlen = chunks[-1][0] + chunks[-1][1]
+    maxa = xlen - clen
+    fullsl = _write_region_slices(eq)
+    buf = bufs[name]
+    row_idx = step_row(t, eq.time_off, fn._time_size)
+    mat_names = sorted({k[0] for k in mat} - {name})
+    sl_tail = fullsl[1:]
+    tail_sizes = tuple(s.stop - s.start for s in sl_tail)
+    stride = _stride_map(eq)
+
+    def body(i, acc):
+        a = jnp.minimum(i * clen, maxa).astype(jnp.int32)
+        bufs_i = dict(bufs)
+        bufs_i[name] = acc
+        for rn in mat_names:
+            # pair the slab reads with the accumulated carry so the
+            # window materializations order after the previous chunk's
+            # DUS (same placement the unrolled path enforces)
+            b, _bar = jax.lax.optimization_barrier((bufs[rn], acc))
+            bufs_i[rn] = b
+        region_i = OrderedDict(region)
+        region_i[xd] = (px0 + a, clen)
+        ctx_i = DenseCtx(bufs_i, params, region_i, t=t, direction=direction,
+                         stride_map=stride,
+                         window=(xd, px0 + a, clen, mat))
+        val_i = translate(eq.rhs, ctx_i)
+        x0buf = jnp_int32(fullsl[0].start) + a
+
+        def _cur():
+            starts = (row_idx, x0buf) + tuple(
+                jnp_int32(s.start) for s in sl_tail)
+            return jax.lax.dynamic_slice(acc, starts,
+                                         (1, clen) + tail_sizes)[0]
+
+        val_i = _finalize_val(eq, val_i, _cur, ctx_i, (clen,) + tail_sizes,
+                              buf.dtype, jnp)
+        sl_align = (slice(0, clen),) + sl_tail
+        val_i, sl_align = _zero_align_chunk_write(val_i, sl_align,
+                                                  buf.shape, eq, fn, jnp)
+        starts = (row_idx, x0buf) + tuple(
+            jnp_int32(s.start) for s in sl_align[1:])
+        return jax.lax.dynamic_update_slice(acc, val_i[None], starts)
+
+    acc = jax.lax.fori_loop(0, len(chunks), body, buf)
+    out = dict(bufs)
+    out[name] = acc
+    return out
 
 
 def _exec_dense(eq, bufs, params, t, direction, strips=None,
@@ -611,8 +705,11 @@ def _exec_dense(eq, bufs, params, t, direction, strips=None,
         region = OrderedDict(list(region.items()) + list(free.items()))
     if val is None and not free and not gspmd:
         plan = _x_chunk_plan(eq, region, t, strips, shard_spec)
+        if plan is not None and plan[4]:
+            return _exec_chunks_rolled(eq, bufs, params, t, direction,
+                                       plan, region)
         if plan is not None:
-            xd, px0, chunks, mat = plan
+            xd, px0, chunks, mat, _ = plan
             fullsl = _write_region_slices(eq)
             buf = bufs[name]
             m = fn._time_size

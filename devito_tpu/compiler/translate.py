@@ -109,13 +109,18 @@ def translate(expr, ctx):
                          sympy.Equality, sympy.Unequality)):
         l = translate(expr.lhs, ctx)
         r = translate(expr.rhs, ctx)
+        # keyed on the sympy base class: devito_tpu.types.relational
+        # subclasses (Lt/Le/...) must resolve to the same compare
         ops = {sympy.StrictLessThan: lambda a, b: a < b,
                sympy.LessThan: lambda a, b: a <= b,
                sympy.StrictGreaterThan: lambda a, b: a > b,
                sympy.GreaterThan: lambda a, b: a >= b,
                sympy.Equality: lambda a, b: a == b,
                sympy.Unequality: lambda a, b: a != b}
-        return ops[type(expr)](l, r)
+        for base, fn in ops.items():
+            if isinstance(expr, base):
+                return fn(l, r)
+        raise CompilationError(f"Unknown relational {type(expr)}")
     if isinstance(expr, sympy.And):
         out = translate(expr.args[0], ctx)
         for a in expr.args[1:]:
@@ -241,7 +246,9 @@ class DenseCtx(BaseCtx):
             start, length = self.region[name]
             shape = [1] * len(dims)
             shape[j] = length
-            iota = jnp.arange(start, start + length).reshape(shape)
+            # start + arange(length), not arange(start, ...): the chunk
+            # axis's region start is traced under the rolled chunk loop
+            iota = (jnp.arange(length) + start).reshape(shape)
             off = self.params.get(f'__shard_off_{name}__')
             if off is not None:
                 iota = iota + off
@@ -279,14 +286,14 @@ class DenseCtx(BaseCtx):
         fn = e.function
         specs = space_index_specs(e)
         arr = None
-        wsub = 0
+        windowed = False
         if self.window is not None and not fn.is_SparseFunction:
             wdn, wstart, wlen, mat = self.window
             sd = fn.space_dimensions
             if (specs and sd and sd[0].name == wdn
                     and specs[0][0] == 'rel' and specs[0][1] == wdn):
                 arr = self._windowed_row(fn, e, wstart, wlen, mat)
-                wsub = wstart
+                windowed = True
         if arr is None:
             arr = self._time_resolved(fn, e)
         halo = fn.dev_halo
@@ -325,7 +332,15 @@ class DenseCtx(BaseCtx):
         # absolute indices become broadcast length-1 lines
         slices, idx_dims = [], []
         for ax, (sp, (hl, hr)) in enumerate(zip(specs, halo)):
-            sub = wsub if ax == 0 else 0
+            if windowed and ax == 0:
+                # the slab already starts at the chunk-region start
+                # (which is TRACED under the rolled chunk loop): the
+                # slab-local slice offset is static — hl + tap offset
+                _, dn, off = sp
+                _, length = self.region[dn]
+                slices.append(slice(hl + off, hl + off + length))
+                idx_dims.append(dn)
+                continue
             if sp[0] == 'abs':
                 s = hl + sp[1]
                 slices.append(slice(s, s + 1))
@@ -336,13 +351,13 @@ class DenseCtx(BaseCtx):
                 _, dn, off = sp
                 rdn, f = self.stride_map[dn]
                 start, length = self.region[rdn]
-                s = hl + f * start + off - sub
+                s = hl + f * start + off
                 slices.append(slice(s, s + f * (length - 1) + 1, f))
                 idx_dims.append(rdn)
             else:
                 _, dn, off = sp
                 start, length = self.region[dn]
-                s = hl + start + off - sub
+                s = hl + start + off
                 slices.append(slice(s, s + length))
                 idx_dims.append(dn)
         # a tail-extended write region (z-compact targets overcompute into
