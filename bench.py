@@ -87,13 +87,21 @@ def parse_trace_period(trace_dir, nsteps):
         by_name.setdefault(e.get('name'), []).append(float(e['ts']))
     periods = []
     for name, ts in by_name.items():
-        # per-step ops fire once per loop iteration
-        if not (0.7 * nsteps <= len(ts) <= 1.3 * nsteps + 2):
+        m = len(ts)
+        # per-step ops fire once per loop iteration; ops inside a rolled
+        # chunk loop (executor._exec_chunks_rolled) fire k times per step
+        # — infer k and scale the average firing gap back to a step
+        # period (span-based: robust to uneven intra-step spacing)
+        k = max(1, round(m / nsteps))
+        if not (0.7 * k * nsteps <= m <= 1.3 * k * nsteps + 2):
             continue
         ts = sorted(ts)
-        gaps = np.diff(ts)
-        if len(gaps) >= 8:
-            periods.append(float(np.median(gaps)))
+        if m < 9:
+            continue
+        if k == 1:
+            periods.append(float(np.median(np.diff(ts))))
+        else:
+            periods.append(float(ts[-1] - ts[0]) / (m - 1) * k)
     if not periods:
         return None
     # several per-step ops all measure the same period; use their median

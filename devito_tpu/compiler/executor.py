@@ -113,11 +113,14 @@ def _zdev_pad_safe(eq):
 def _write_region_slices(eq):
     """Device-buffer slices for the write region of a dense eq (halo
     offsets follow the device layout — zero z-halo under z-compact;
-    full-lane extended for tail-padded z-compact targets, _zdev_pad)."""
+    full-lane extended for tail-padded z-compact targets, _zdev_pad).
+    Regions are GLOBAL domain coordinates; a target defined on a
+    SubDomain subtracts its origin offset to address the local buffer."""
     fn = eq.target
     slices = []
-    for (start, stop), (hl, hr) in zip(eq.region, fn.dev_halo):
-        slices.append(slice(hl + start, hl + stop))
+    for (start, stop), (hl, hr), oo in zip(eq.region, fn.dev_halo,
+                                           fn.origin_offset):
+        slices.append(slice(hl + start - oo, hl + stop - oo))
     pad = _zdev_pad(eq)
     if pad is not None:
         slices[-1] = slice(0, pad[1])
@@ -125,10 +128,14 @@ def _write_region_slices(eq):
 
 
 def _region_map(eq):
-    """{dim name: (start, length)} for the translator."""
+    """{dim name: (start, length)} for the translator — SubDimension
+    axes key by their ROOT names (a SubDomain-defined target iterates
+    SubDimensions whose accesses resolve to root names in
+    space_index_specs)."""
     fn = eq.target
     return OrderedDict(
-        (d.name, (start, stop - start))
+        ((d.root.name if getattr(d, 'is_Sub', False) else d.name),
+         (start, stop - start))
         for d, (start, stop) in zip(fn.space_dimensions, eq.region))
 
 
@@ -151,7 +158,10 @@ def _free_dims(eq):
     XLA maps onto the MXU for matmul-shaped cases). Returns
     {dim name: (0, extent)} in a deterministic order."""
     from ..types.basic import retrieve_functions
-    target_names = {d.name for d in eq.target.space_dimensions}
+    # SubDimension axes resolve by ROOT name (same convention as
+    # _region_map and the access specs)
+    target_names = {(d.root.name if getattr(d, 'is_Sub', False) else d.name)
+                    for d in eq.target.space_dimensions}
     # parents of subsampled target dims are not free: they map to
     # strided reads over the subsampled region
     target_names.update(_stride_map(eq))
@@ -162,9 +172,16 @@ def _free_dims(eq):
             continue
         sdims = f.space_dimensions
         sshape = f.shape[len(f.shape) - len(sdims):]  # drop time axis
-        for d, n in zip(sdims, sshape):
-            if d.name not in target_names and d.name not in out:
-                out[d.name] = (0, int(n))
+        oofs = getattr(f, 'origin_offset', None) or (0,) * len(sdims)
+        for d, n, oo in zip(sdims, sshape, oofs):
+            # SubDomain-defined operands iterate SubDimensions whose
+            # accesses resolve to root names; other derived dims (e.g.
+            # subsampled conditionals) keep their own identity
+            dn = d.root.name if getattr(d, 'is_Sub', False) else d.name
+            if dn not in target_names and dn not in out:
+                # region stays GLOBAL: a SubDomain-defined operand's
+                # extent starts at its origin offset
+                out[dn] = (oo, int(n))
     return out
 
 
@@ -444,6 +461,8 @@ def _x_chunk_plan(eq, region, t, strips, shard_spec):
     d0 = eq.target.space_dimensions[0]
     if getattr(d0, 'is_Conditional', False) or d0.name != xd:
         return None
+    if any(getattr(eq.target, 'origin_offset', ()) or ()):
+        return None  # SubDomain-defined target: local-buffer offsets
     tname = eq.target.function.name
     nonlead_x = False
     rows = {}
@@ -453,6 +472,8 @@ def _x_chunk_plan(eq, region, t, strips, shard_spec):
             fn = a.function
             if fn.is_SparseFunction:
                 return None
+            if any(getattr(fn, 'origin_offset', ()) or ()):
+                return None  # SubDomain-defined read: offset slabs
             if fn.name == tname:
                 tkk, toff = time_access_of(a)
                 if tkk == eq.time_kind:

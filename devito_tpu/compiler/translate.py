@@ -330,8 +330,12 @@ class DenseCtx(BaseCtx):
         # slice each axis by its INDEXING dimension's region (usually the
         # axis's own dim; another one for transposed indexing A[j, i]);
         # absolute indices become broadcast length-1 lines
+        # origin offsets translate GLOBAL region coordinates to the local
+        # buffer of a SubDomain-defined function (zero for whole-grid)
+        origin = fn.origin_offset if hasattr(fn, 'origin_offset') else None
         slices, idx_dims = [], []
         for ax, (sp, (hl, hr)) in enumerate(zip(specs, halo)):
+            oo = origin[ax] if origin else 0
             if windowed and ax == 0:
                 # the slab already starts at the chunk-region start
                 # (which is TRACED under the rolled chunk loop): the
@@ -342,7 +346,7 @@ class DenseCtx(BaseCtx):
                 idx_dims.append(dn)
                 continue
             if sp[0] == 'abs':
-                s = hl + sp[1]
+                s = hl + sp[1] - oo
                 slices.append(slice(s, s + 1))
                 idx_dims.append(None)
             elif sp[1] not in self.region and sp[1] in self.stride_map:
@@ -351,13 +355,13 @@ class DenseCtx(BaseCtx):
                 _, dn, off = sp
                 rdn, f = self.stride_map[dn]
                 start, length = self.region[rdn]
-                s = hl + f * start + off
+                s = hl + f * start + off - oo
                 slices.append(slice(s, s + f * (length - 1) + 1, f))
                 idx_dims.append(rdn)
             else:
                 _, dn, off = sp
                 start, length = self.region[dn]
-                s = hl + start + off
+                s = hl + start + off - oo
                 slices.append(slice(s, s + length))
                 idx_dims.append(dn)
         # a tail-extended write region (z-compact targets overcompute into

@@ -59,8 +59,37 @@ class Data:
             idx = (idx,)
         if any(i is Ellipsis for i in idx):
             pos = idx.index(Ellipsis)
-            fill = len(shape) - (len(idx) - 1)
+            ndims = sum(np.asarray(i).ndim
+                        if isinstance(i, (list, np.ndarray))
+                        and np.asarray(i).dtype == bool else 1
+                        for i in idx if i is not Ellipsis)
+            fill = len(shape) - ndims
             idx = idx[:pos] + (slice(None),) * fill + idx[pos + 1:]
+        # an N-d boolean mask consumes ndim consecutive axes (numpy
+        # semantics): splice its nonzero coordinate arrays in place —
+        # the mask is host data so the translation is free, and the
+        # resulting integer-array index executes as ONE device-side
+        # broadcast gather of just the selected elements (reference:
+        # the distributed indexing engine's Selection semantics,
+        # devito/data/distributed/__init__.py)
+        expanded = []
+        for i in idx:
+            if isinstance(i, (list, np.ndarray)):
+                ai = np.asarray(i)
+                if ai.dtype == bool and ai.ndim > 1:
+                    axis0 = sum(np.asarray(e).ndim
+                                if isinstance(e, (list, np.ndarray))
+                                and np.asarray(e).dtype == bool else 1
+                                for e in expanded)
+                    want = shape[axis0:axis0 + ai.ndim]
+                    if ai.shape != tuple(want):
+                        raise IndexError(
+                            f"boolean mask shape {ai.shape} does not "
+                            f"match axes {axis0}.. sizes {tuple(want)}")
+                    expanded.extend(np.nonzero(ai))
+                    continue
+            expanded.append(i)
+        idx = tuple(expanded)
         idx = idx + (slice(None),) * (len(shape) - len(idx))
         if len(idx) != len(shape):
             return None, False

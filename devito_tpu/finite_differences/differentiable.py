@@ -206,6 +206,12 @@ def _parse_derivative_shortcut(expr, name):
     dimensions. Returns a Derivative or None."""
     from .derivative import Derivative
     dims = {d.name: d for d in getattr(expr, 'dimensions', ())}
+    for d in getattr(expr, 'dimensions', ()):
+        # SubDomain-defined functions iterate SubDimensions: u.dx works
+        # through the root name, producing a derivative along the
+        # SubDimension (same spacing as its parent)
+        if getattr(d, 'is_Sub', False):
+            dims.setdefault(d.root.name, d)
     td = expr.time_dim
     if td is not None:
         dims.setdefault(td.name, td)

@@ -258,6 +258,7 @@ def _restrict_subdims(lhs, region):
     args = lhs.args
     start = 1 if (dims and (dims[0].is_Time or isinstance(
         dims[0], ConditionalDimension))) else 0
+    own = set(fn.space_dimensions)
     out = list(region)
     for axis, a in enumerate(args[start:]):
         free = [d for d in sympy.sympify(a).free_symbols
@@ -265,6 +266,10 @@ def _restrict_subdims(lhs, region):
         if not free:
             continue
         sd = free[0]
+        if sd in own:
+            # a SubDomain-defined function's own SubDimension: the write
+            # region from _region_of already covers exactly its bounds
+            continue
         a0, b0 = out[axis]
         sa, sb = _subdim_bounds(sd, b0 if b0 is not None else 0)
         out[axis] = (max(a0, sa), min(b0, sb))
@@ -272,16 +277,27 @@ def _restrict_subdims(lhs, region):
 
 
 def _region_of(target, subdomain):
-    """(start, stop) per space dim of the write region."""
+    """(start, stop) per space dim of the write region, in GLOBAL domain
+    coordinates (a target defined on a SubDomain iterates its own region;
+    the compiler subtracts its origin_offset when addressing the local
+    buffer)."""
     fn = target.function
-    grid = fn.grid
     sshape = fn.shape if not fn.is_TimeFunction else fn.shape[1:]
     if fn.is_SparseFunction:
         return None
+    own = getattr(fn, 'subdomain', None)
     if subdomain is None:
+        if own is not None:
+            return own.bounds()
         return tuple((0, n) for n in sshape)
     if isinstance(subdomain, SubDomain):
-        return subdomain.bounds()
+        bounds = subdomain.bounds()
+        if own is not None:
+            # intersect the eq's subdomain with the function's own region
+            bounds = tuple((max(a0, b0), min(a1, b1))
+                           for (a0, a1), (b0, b1)
+                           in zip(own.bounds(), bounds))
+        return bounds
     raise InvalidOperator(f"Bad subdomain {subdomain}")
 
 
@@ -320,6 +336,21 @@ def lower_one(eq):
                 f"Shifted spatial writes not supported (lhs {lhs})")
 
     region = _region_of(lhs, eq.subdomain)
+    if eq.subdomain is None and region is not None:
+        # reads of SubDomain-defined functions bound the iteration to
+        # their region (reference: test_subdomains.py
+        # test_unspecified_subdomain — Eq(g, f) with f on a SubDomain
+        # iterates f's region)
+        for a in retrieve_functions(rhs):
+            f2 = a.function
+            own2 = getattr(f2, 'subdomain', None)
+            if own2 is None or f2.is_SparseFunction:
+                continue
+            b2 = own2.bounds()
+            if len(b2) != len(region):
+                continue  # reduced-rank operand: no axis alignment
+            region = tuple((max(a0, b0), min(a1, b1))
+                           for (a0, a1), (b0, b1) in zip(region, b2))
     region = _restrict_subdims(lhs, region)
     hw = int(getattr(eq, '_halo_write', 0) or 0)
     if hw and eq.subdomain is None:

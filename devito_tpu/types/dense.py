@@ -92,8 +92,35 @@ class DiscreteFunction(AbstractFunction):
                           staggered=None, padding=None, initializer=None,
                           allocator=None, parameter=False, avg_mode=None,
                           coefficients=None, **kwargs):
+        # a Function may be defined on a SubDomain: its data covers only
+        # that sub-region, its dimensions are the SubDimensions, and its
+        # indices stay aligned with the GLOBAL grid indices via a
+        # per-axis origin offset consumed by the compiler (reference:
+        # tests/test_subdomains.py TestSubDomainFunctions — Function
+        # (grid=subdomain) with global-index iteration)
+        from .grid import SubDomain, SubDomainSet
+        cls._subdomain_fn = None
+        cls._origin_offset = None
+        if isinstance(grid, SubDomain):
+            sd = grid
+            if isinstance(sd, SubDomainSet):
+                raise ValueError(
+                    "Functions cannot be defined on a SubDomainSet")
+            if sd.grid is None:
+                raise ValueError(
+                    f"SubDomain {sd.name} is not attached to a Grid")
+            cls._subdomain_fn = sd
+            grid = sd.grid
+            if grid.is_distributed:
+                raise NotImplementedError(
+                    "Functions on SubDomains of distributed grids")
+            cls._origin_offset = tuple(b[0] for b in sd.bounds())
         cls._grid = grid
-        if grid is not None:
+        if cls._subdomain_fn is not None:
+            space_dims = cls._subdomain_fn.dimensions
+            space_shape = cls._subdomain_fn.shape
+            dtype = dtype or grid.dtype
+        elif grid is not None:
             space_dims = grid.dimensions
             space_shape = grid.shape
             dtype = dtype or grid.dtype
@@ -126,7 +153,8 @@ class DiscreteFunction(AbstractFunction):
         cls._halo = tuple((space_order, space_order) for _ in space_dims)
         cls._dimensions = cls._make_dimensions()
         cls._constructor_kwargs = dict(
-            name=name, grid=grid, shape=shape, dimensions=dimensions,
+            name=name, grid=cls._subdomain_fn or grid, shape=shape,
+            dimensions=dimensions,
             dtype=cls._dtype, space_order=space_order, staggered=staggered,
             parameter=parameter)
         # data buffers (host numpy padded, device jax, coherence state)
@@ -224,6 +252,23 @@ class DiscreteFunction(AbstractFunction):
         if self.is_zcompact and h:
             return h[:-1] + ((0, 0),)
         return h
+
+    @property
+    def origin_offset(self):
+        """Global domain index of this function's first interior point
+        per space axis: nonzero only for Functions defined on a SubDomain
+        (iteration regions stay in GLOBAL coordinates; the compiler
+        subtracts this offset when slicing the local buffer)."""
+        oo = getattr(type(self), '_origin_offset', None)
+        if oo is None:
+            return (0,) * len(self.space_dimensions)
+        return oo
+
+    @property
+    def subdomain(self):
+        """The SubDomain this function is defined on (None for whole-grid
+        functions)."""
+        return getattr(type(self), '_subdomain_fn', None)
 
     def _family_token(self):
         """Identity of this function's build family — same name AND same

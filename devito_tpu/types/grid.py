@@ -192,14 +192,21 @@ class SubDomain:
         """Return {dim: spec}. Override in subclasses (reference API)."""
         if self._spec is None:
             return {d: d for d in dimensions}
-        return {d: self._spec.get(d, d) for d in dimensions}
+        byname = {(k.name if hasattr(k, 'name') else k): v
+                  for k, v in self._spec.items()}
+        return {d: byname.get(d.name, d) for d in dimensions}
 
     def __subdomain_finalize__(self, grid):
         self._grid = grid
         spec = self.define(grid.dimensions)
+        # accept dimension names as keys alongside Dimension objects
+        # (a string-keyed spec used to miss silently, leaving the whole
+        # dimension — wrong shape with no error)
+        byname = {(k.name if hasattr(k, 'name') else k): v
+                  for k, v in spec.items()}
         dims = []
         for d in grid.dimensions:
-            s = spec.get(d, d)
+            s = byname.get(d.name, d)
             if s is d or s == d:
                 dims.append(d)
             else:

@@ -17,11 +17,17 @@ class AbstractRel:
 
     @property
     def negated(self):
-        return _ops[self.func](*self.args)
+        for base, other in _ops.items():
+            if isinstance(self, base):
+                return other(*self.args)
+        raise TypeError(f"No negation for {type(self)}")
 
     @property
     def reversed(self):
-        return _rev[self.func](self.rhs, self.lhs)
+        for base, other in _rev.items():
+            if isinstance(self, base):
+                return other(self.rhs, self.lhs)
+        raise TypeError(f"No reversal for {type(self)}")
 
 
 class Le(AbstractRel, sympy.Le):

@@ -1,0 +1,326 @@
+"""Functions defined on SubDomains + the in-depth SubDomain behavior
+matrix (reference: tests/test_subdomains.py — TestSubdomains basics and
+TestSubDomainFunctions, ~600 LoC of the reference suite previously
+without an analog; VERDICT r3 item 6)."""
+
+import numpy as np
+import pytest
+
+from devito_tpu import (Grid, Function, TimeFunction, Eq, Operator,
+                        SubDomain, Le, Lt, Ge, Gt, Ne)
+from devito_tpu.types.tensor import TensorFunction, VectorFunction
+
+
+class _Mid(SubDomain):
+    name = 'middle'
+
+    def define(self, dimensions):
+        x, y = dimensions
+        return {x: ('middle', 2, 2), y: ('middle', 3, 1)}
+
+
+def _reduced(x, y, grid):
+    """ReducedDomain analog: a directly-constructed SubDomain."""
+    xd, yd = grid.dimensions
+    spec = {}
+    if x is not None:
+        spec[xd] = x
+    if y is not None:
+        spec[yd] = y
+    nm = f"rd_{x}_{y}".replace(' ', '').replace("'", '').replace(',', '_') \
+        .replace('(', '').replace(')', '')
+    return SubDomain(name=nm, spec=spec, grid=grid)
+
+
+class TestSubDomainBasics:
+    """Reference TestSubdomains subset."""
+
+    def test_multiple_middle(self):
+        """Two 'middle' subdomains in one operator
+        (reference: test_multiple_middle:47)."""
+        class sd0(SubDomain):
+            name = 'd0'
+
+            def define(self, dimensions):
+                x, y = dimensions
+                return {x: ('middle', 1, 6), y: ('middle', 1, 1)}
+
+        class sd1(SubDomain):
+            name = 'd1'
+
+            def define(self, dimensions):
+                x, y = dimensions
+                return {x: ('middle', 6, 1), y: ('middle', 1, 1)}
+
+        grid = Grid(shape=(10, 10))
+        s_d0 = sd0(grid=grid)
+        s_d1 = sd1(grid=grid)
+        f = Function(name='f', grid=grid, dtype=np.int32)
+        Operator([Eq(f, f + 1, subdomain=s_d0),
+                  Eq(f, f + 2, subdomain=s_d1)]).apply()
+        expected = np.zeros((10, 10), dtype=np.int32)
+        expected[1:4, 1:9] = 1
+        expected[6:9, 1:9] = 2
+        assert (np.asarray(f.data) == expected).all()
+
+    def test_shape(self):
+        """SubDomain shapes (reference: test_shape:88)."""
+        grid = Grid(shape=(10, 10))
+        x, y = grid.dimensions
+        s_d0 = SubDomain(name='d0', spec={x: ('middle', 1, 6),
+                                          y: ('middle', 1, 1)}, grid=grid)
+        s_d1 = SubDomain(name='d1', spec={x: ('right', 4), y: ('left', 2)},
+                         grid=grid)
+        s_d2 = SubDomain(name='d2', spec={x: ('left', 3),
+                                          y: ('middle', 1, 2)}, grid=grid)
+        assert grid.subdomains['domain'].shape == (10, 10)
+        assert grid.subdomains['interior'].shape == (8, 8)
+        assert s_d0.shape == (3, 8)
+        assert s_d1.shape == (4, 2)
+        assert s_d2.shape == (3, 7)
+
+    def test_string_keyed_spec(self):
+        """Specs may use dimension names as keys (a string-keyed spec
+        used to miss silently, leaving the whole dimension)."""
+        grid = Grid(shape=(10, 10))
+        sd = SubDomain(name='sk', spec={'x': ('middle', 2, 3),
+                                        'y': ('right', 6)}, grid=grid)
+        assert sd.shape == (5, 6)
+
+
+class TestSubDomainFunctions:
+    """Functions defined on SubDomains (reference:
+    TestSubDomainFunctions, tests/test_subdomains.py:1160-1530)."""
+
+    _specs = [('left', 3), ('right', 3), ('middle', 2, 3), None]
+
+    @pytest.mark.parametrize('x', _specs)
+    @pytest.mark.parametrize('y', _specs)
+    @pytest.mark.parametrize('so', [2, 4])
+    def test_function_data_shape(self, x, y, so):
+        """Data arrays have the sub-region shape
+        (reference: test_function_data_shape:1166)."""
+        grid = Grid(shape=(11, 11), extent=(10., 10.))
+        rd = _reduced(x, y, grid)
+        f = Function(name='f', grid=rd, space_order=so)
+
+        def tkn(spec, n):
+            if spec is None:
+                return 0, 0
+            if spec[0] == 'left':
+                return 0, n - spec[1]
+            if spec[0] == 'middle':
+                return spec[1], spec[2]
+            return n - spec[1], 0
+
+        xl, xr = tkn(x, 11)
+        yl, yr = tkn(y, 11)
+        shape = (11 - xl - xr, 11 - yl - yr)
+        assert f.dimensions == rd.dimensions
+        assert f.data.shape == shape
+        assert f.data_with_halo.shape == tuple(i + 2 * so for i in shape)
+        assert f.origin_offset == (xl, yl)
+
+    def test_slicing(self):
+        """Slicing data of a SubDomain Function
+        (reference: test_slicing:1205)."""
+        grid = Grid(shape=(10, 10), extent=(9., 9.))
+        rd = _reduced(('middle', 3, 1), ('right', 7), grid)
+        f0 = Function(name='f0', grid=rd)
+        f0.data[:] = 1
+        f0.data[2:4, 1:-1] = 2
+        f0.data[3:-2, 2:-3] = 3
+        f0.data[-5:-3, -3:-2] = 4
+        check0 = np.full(f0.shape, 1.)
+        check0[2:4, 1:-1] = 2
+        check0[3:-2, 2:-3] = 3
+        check0[-5:-3, -3:-2] = 4
+        assert np.all(np.asarray(f0.data) == check0)
+
+        f2 = Function(name='f2', grid=rd)
+        f2.data[4, 2] = 5
+        f2.data[0, 0] = 6
+        f2.data[0, -2] = 8
+        f2.data[-2, 2] = 9
+        check2 = np.zeros(f2.shape)
+        check2[4, 2] = 5
+        check2[0, 0] = 6
+        check2[0, -2] = 8
+        check2[-2, 2] = 9
+        assert np.all(np.asarray(f2.data) == check2)
+
+    @pytest.mark.parametrize('x', _specs)
+    @pytest.mark.parametrize('y', _specs)
+    def test_basic_function(self, x, y):
+        """Trivial operator over every spec combination
+        (reference: test_basic_function:1262)."""
+        grid = Grid(shape=(10, 10), extent=(9., 9.))
+        rd = _reduced(x, y, grid)
+        f = Function(name='f', grid=rd)
+        assert f.shape == rd.shape
+        Operator(Eq(f, f + 1)).apply()
+        assert np.all(np.asarray(f.data) == 1)
+
+    def test_indices(self):
+        """Iteration indices align with GLOBAL grid indices
+        (reference: test_indices:1279)."""
+        grid = Grid(shape=(10, 10), extent=(9., 9.))
+        rd = _reduced(('middle', 2, 3), ('right', 6), grid)
+        x, y = rd.dimensions
+        f = Function(name='f', grid=rd)
+        Operator(Eq(f, x * y)).apply()
+        check = np.array([[8., 10., 12., 14., 16., 18.],
+                          [12., 15., 18., 21., 24., 27.],
+                          [16., 20., 24., 28., 32., 36.],
+                          [20., 25., 30., 35., 40., 45.],
+                          [24., 30., 36., 42., 48., 54.]])
+        assert np.all(np.asarray(f.data) == check)
+
+    def test_mixed_functions(self):
+        """Some Functions on a SubDomain, some not
+        (reference: test_mixed_functions:1303)."""
+        grid = Grid(shape=(10, 10), extent=(9., 9.))
+        mid = _Mid(grid=grid)
+        f = Function(name='f', grid=mid)
+        g = Function(name='g', grid=grid)
+        h = Function(name='h', grid=grid)
+        assert f.shape == mid.shape
+        assert g.shape == grid.shape
+        op = Operator([Eq(f, g + f + 1, subdomain=mid),
+                       Eq(g, 2 * f, subdomain=mid),
+                       Eq(f, g + 1, subdomain=mid),
+                       Eq(h, g + 1)])
+        op.apply()
+        assert np.all(np.asarray(f.data) == 3)
+        assert np.all(np.asarray(g.data)[2:-2, 3:-1] == 2)
+        h_check = np.full(grid.shape, 1)
+        h_check[2:-2, 3:-1] = 3
+        assert np.all(np.asarray(h.data) == h_check)
+
+    def test_multiple_functions(self):
+        """Functions on different SubDomains in one operator
+        (reference: test_multiple_functions:1344)."""
+        grid = Grid(shape=(10, 10), extent=(9., 9.))
+        sd0 = _reduced(('middle', 2, 3), ('right', 6), grid)
+        sd1 = _reduced(('middle', 4, 1), ('left', 3), grid)
+        f = Function(name='f', grid=sd0)
+        g = Function(name='g', grid=sd1)
+        Operator([Eq(f, f + 1, subdomain=sd0),
+                  Eq(g, g + 1, subdomain=sd1)]).apply()
+        assert np.all(np.asarray(f.data) == 1)
+        assert np.all(np.asarray(g.data) == 1)
+
+    def test_smaller_iteration(self):
+        """Iterating a smaller SubDomain than the Function's own
+        (reference: test_smaller_iteration:1369)."""
+        grid = Grid(shape=(10, 10), extent=(9., 9.))
+        sd0 = _reduced(('middle', 1, 2), ('right', 7), grid)
+        sd1 = _reduced(('middle', 3, 3), ('right', 5), grid)
+        f = Function(name='f', grid=sd0, dtype=np.int32)
+        Operator(Eq(f, f + 1, subdomain=sd1)).apply()
+        check = np.zeros((7, 7), dtype=np.int32)
+        check[2:6, 2:] = 1
+        assert np.all(np.asarray(f.data) == check)
+
+    @pytest.mark.parametrize('s_o', [2, 4, 6])
+    def test_derivatives(self, s_o):
+        """Derivatives on SubDomain Functions match full-grid ones
+        (reference: test_derivatives:1405)."""
+        grid = Grid(shape=(10, 10), extent=(9., 9.))
+        mid = _Mid(grid=grid)
+        f = Function(name='f', grid=mid, space_order=s_o)
+        g = Function(name='g', grid=grid, space_order=s_o)
+        fdx = Function(name='fdx', grid=mid)
+        gdx = Function(name='gdx', grid=grid)
+        fdy = Function(name='fdy', grid=mid)
+        gdy = Function(name='gdy', grid=grid)
+
+        msh_x, msh_y = np.meshgrid(np.arange(2, 8), np.arange(3, 9),
+                                   indexing='ij')
+        lam = 9. / (2 * np.pi)
+        field = (np.sin(lam * msh_x) + 0.4 * np.sin(2 * lam * msh_y)
+                 + 0.2 * np.sin(3 * lam * msh_x + 2 * lam * msh_y))
+        f.data[:] = field
+        g.data[2:-2, 3:-1] = field
+        op = Operator([Eq(fdx, f.dx, subdomain=mid),
+                       Eq(fdy, f.dy, subdomain=mid),
+                       Eq(gdx, g.dx, subdomain=mid),
+                       Eq(gdy, g.dy, subdomain=mid)])
+        op.apply()
+        assert np.allclose(np.asarray(fdx.data),
+                           np.asarray(gdx.data)[2:-2, 3:-1])
+        assert np.allclose(np.asarray(fdy.data),
+                           np.asarray(gdy.data)[2:-2, 3:-1])
+
+    def test_operator_shortcuts(self):
+        """laplace/grad/div shortcuts build on SubDomain Functions
+        (reference: test_operator_shortcuts:1449)."""
+        grid = Grid(shape=(10, 10, 10), extent=(9., 9., 9.))
+        x, y, z = grid.dimensions
+        mid = SubDomain(name='m3', spec={x: ('middle', 2, 2),
+                                         y: ('middle', 3, 1),
+                                         z: ('middle', 1, 3)}, grid=grid)
+        f = Function(name='f', grid=mid, space_order=2)
+        g = VectorFunction(name='g', grid=mid, space_order=2)
+        h = TensorFunction(name='h', grid=mid, space_order=2)
+        _ = f.laplace
+        _ = f.dx + f.dy
+        from devito_tpu import div, grad, laplace
+        _ = grad(f)
+        _ = div(g)
+        _ = laplace(f)
+        _ = div(h)
+
+    def test_unspecified_subdomain(self):
+        """Eq infers iteration over the operand's SubDomain
+        (reference: test_unspecified_subdomain:1484)."""
+        grid = Grid(shape=(10, 10))
+        sd0 = _reduced(('middle', 1, 2), ('right', 7), grid)
+        f = Function(name='f', grid=sd0, dtype=np.int32)
+        g = Function(name='g', grid=grid, dtype=np.int32)
+        f.data[:] = 1
+        Operator(Eq(g, f)).apply()
+        check = np.zeros((10, 10), dtype=np.int32)
+        check[1:-2, -7:] = 1
+        assert np.all(np.asarray(g.data) == check)
+
+    def test_timefunction_on_subdomain(self):
+        """TimeFunction evolves on a SubDomain region only."""
+        grid = Grid(shape=(12, 12), extent=(11., 11.))
+        mid = _Mid(grid=grid)
+        u = TimeFunction(name='u', grid=mid, space_order=2)
+        u.data[:] = 1.0
+        op = Operator(Eq(u.forward, u + 1))
+        op.apply(time_M=3, dt=1.0)
+        assert np.all(np.asarray(u.data[0]) == 5.0)
+        assert np.asarray(u.data[0]).shape == mid.shape
+
+
+class TestRelationals:
+    """Relational API surface (reference: types/relational.py:27-167)."""
+
+    def test_negated_reversed(self):
+        import sympy
+        x = sympy.Symbol('s')
+        assert isinstance(Lt(x, 1).negated, Ge)
+        assert isinstance(Le(x, 1).negated, Gt)
+        assert isinstance(Gt(x, 1).negated, Le)
+        assert isinstance(Ge(x, 1).negated, Lt)
+        r = Lt(x, 1).reversed
+        assert isinstance(r, Gt) and r.lhs == sympy.Integer(1)
+
+    def test_default_rhs_zero(self):
+        import sympy
+        x = sympy.Symbol('s')
+        assert Lt(x).rhs == sympy.Integer(0)
+
+    def test_relational_condition_runs(self):
+        """A devito-level relational works as a condition."""
+        from devito_tpu import ConditionalDimension
+        grid = Grid(shape=(10, 10))
+        x, y = grid.dimensions
+        f = Function(name='f', grid=grid)
+        ci = ConditionalDimension(name='ci', parent=y, condition=Lt(x, 5))
+        Operator(Eq(f, f + 10, implicit_dims=ci)).apply()
+        d = np.asarray(f.data)
+        assert np.all(d[:5] == 10) and np.all(d[5:] == 0)
