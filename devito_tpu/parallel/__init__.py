@@ -1,1 +1,2 @@
 from .distributor import *  # noqa
+from .redistribute import redistribute  # noqa
