@@ -185,6 +185,24 @@ def _free_dims(eq):
     return out
 
 
+def factor_value(f, params=None):
+    """Runtime value of a ConditionalDimension subsampling factor: an
+    int, or the traced runtime value for Constant-valued factors
+    (reference: test_dimension.py test_symbolic_factor:1331 — the factor
+    is overridable per apply)."""
+    if f is None:
+        return 1
+    nm = getattr(f, 'name', None)
+    if nm is not None and params is not None and nm in params:
+        # the param may ride as a float scalar; // with it must still
+        # produce an integer row index
+        return jnp_int32(params[nm])
+    try:
+        return int(f)
+    except TypeError:
+        return int(getattr(f, 'data', f))
+
+
 def modulo_period(stepping_info):
     """lcm of the rolling-buffer slot counts."""
     P = 1
@@ -243,12 +261,13 @@ def _resolve_time_indexed(bufs, fn, tk, toff, t, direction, params=None,
         return up(jax.lax.dynamic_index_in_dim(
             buf, save_row(t, toff, params, fn), 0, keepdims=False), fn)
     if tk == 'cond':
-        factor = fn.dimensions[0].factor or 1
+        factor = factor_value(fn.dimensions[0].factor, params)
         return up(jax.lax.dynamic_index_in_dim(
-            buf, t // factor + toff, 0, keepdims=False), fn)
+            buf, jnp_int32(t // factor + toff), 0, keepdims=False), fn)
     if tk == 'abs':
-        # absolute index: integer / runtime-Constant expression
-        idx = _eval_scalar(toff, params or {})
+        # absolute index: integer / runtime-Constant expression (the
+        # canonical __loop_time__ marker resolves to the loop variable)
+        idx = _eval_scalar(toff, dict(params or {}, __loop_time__=t))
         return up(jax.lax.dynamic_index_in_dim(
             buf, jnp_int32(idx), 0, keepdims=False), fn)
     raise CompilationError(f"Bad time access kind {tk}")
@@ -266,10 +285,11 @@ def _time_row_index(fn, tk, toff, t, params):
     if tk == 'save':
         return save_row(t, toff, params, fn)
     if tk == 'cond':
-        factor = fn.dimensions[0].factor or 1
+        factor = factor_value(fn.dimensions[0].factor, params)
         return t // factor + toff
     if tk == 'abs':
-        return jnp_int32(_eval_scalar(toff, params or {}))
+        return jnp_int32(_eval_scalar(toff, dict(params or {},
+                                                 __loop_time__=t)))
     raise CompilationError(f"Bad time access kind {tk}")
 
 
@@ -357,9 +377,9 @@ def _target_prev(eq, bufs, t, direction, params=None):
             buf, save_row(t, eq.time_off, params, eq.target), 0,
             keepdims=False)
     if tk == 'cond':
-        factor = eq.cond_factor or 1
-        return jax.lax.dynamic_index_in_dim(buf, t // factor + eq.time_off,
-                                            0, keepdims=False)
+        factor = factor_value(eq.cond_factor, params)
+        return jax.lax.dynamic_index_in_dim(
+            buf, jnp_int32(t // factor + eq.time_off), 0, keepdims=False)
     return buf
 
 
@@ -535,7 +555,16 @@ def _x_chunk_plan(eq, region, t, strips, shard_spec):
         halob += (hl + hr) * perrow
         mat.add(key)
     trigger = int(float(os.environ.get('DTPU_XCHUNK_TRIGGER_MB', 60)) * 1e6)
-    target = int(float(os.environ.get('DTPU_XCHUNK_TARGET_MB', 64)) * 1e6)
+    # slab-size target: 64 MB pins on-chip when the materialized
+    # operands STORE narrow (the bf16 HBM streams leave VMEM headroom);
+    # fp32-stored operands measured best at ~52 MB slabs (512^3 SO=8
+    # fp32: 12 chunks/64 MB = 20.0 GPts/s, 16 chunks/52 MB = 24.3 —
+    # r4 chunk sweeps, PERF_NOTES)
+    mat_itemb = [np.dtype(fn.function.storage_dtype).itemsize
+                 for _, (fn, offs) in rows.items() if len(offs) >= 3]
+    tdefault = 52 if (mat_itemb and min(mat_itemb) >= 4) else 64
+    target = int(float(os.environ.get('DTPU_XCHUNK_TARGET_MB',
+                                      tdefault)) * 1e6)
     if not mat or storeb <= trigger:
         return None
     # bound the ACTUAL materialized slab bytes (chunk rows + halo rows,
@@ -891,7 +920,7 @@ def _exec_dense(eq, bufs, params, t, direction, strips=None,
     if tk == 'save':
         tidx = save_row(t, eq.time_off, params, eq.target)
     elif tk == 'cond':
-        factor = eq.cond_factor or 1
+        factor = factor_value(eq.cond_factor, params)
         tidx = t // factor + eq.time_off
     else:
         tidx = None
@@ -914,8 +943,13 @@ def _exec_dense(eq, bufs, params, t, direction, strips=None,
             return b.at[slices].set(val)
         return b.at[(tidx,) + slices].set(val)
 
-    if tk == 'cond' and (eq.cond_factor or 1) > 1:
-        factor = eq.cond_factor
+    cf = eq.cond_factor
+    # guard decision is STATIC: symbolic (Constant) factors always guard
+    # (their runtime value is traced); plain ints only when > 1
+    need_guard = cf is not None and (getattr(cf, 'name', None) is not None
+                                     or int(cf) > 1)
+    if tk == 'cond' and need_guard:
+        factor = factor_value(cf, params)
         buf = jax.lax.cond(jnp.mod(t, factor) == 0, _write, lambda b: b, buf)
     else:
         buf = _write(buf)

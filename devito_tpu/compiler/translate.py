@@ -176,14 +176,39 @@ class BaseCtx:
         name = sym.name
         if name in self.params:
             return self.params[name]
+        if name == '__loop_time__' and self.t is not None:
+            # canonical time-axis marker (ir/lowering.py LOOP_TIME)
+            return self.t
         if isinstance(sym, Dimension) and self.t is not None:
             root = sym.root if sym.is_Derived else sym
             if root.is_Time:
                 # e.g. sf.inject(expr=time): the loop's time index is a
                 # legal value expression (reference
-                # tests/test_sparse.py:470 test_mpi_no_data)
+                # tests/test_sparse.py:470 test_mpi_no_data). A
+                # time-subsampled ConditionalDimension used as a VALUE is
+                # the subsampled index t // factor (reference:
+                # test_dimension.py test_as_expr:1171, test_no_index)
+                if isinstance(sym, ConditionalDimension):
+                    f = self._cond_factor_value(sym)
+                    if f is not None:
+                        return self.t // f
                 return self.t
         raise CompilationError(f"Unbound symbol {name}")
+
+    def _cond_factor_value(self, cd):
+        """Runtime value of a ConditionalDimension's subsampling factor
+        (int, or a traced param for Constant factors); None if no
+        factor."""
+        f = getattr(cd, 'factor', None)
+        if f is None:
+            return None
+        nm = getattr(f, 'name', None)
+        if nm is not None and nm in self.params:
+            return self.params[nm]
+        try:
+            return int(f)
+        except TypeError:
+            return int(getattr(f, 'data', f))
 
     def _time_resolved(self, fn, access):
         """Resolve an access's time index into the concrete (time-free)
@@ -240,6 +265,11 @@ class DenseCtx(BaseCtx):
             if sym.is_Time or name not in self.region:
                 if sym.is_Time:
                     return self.t
+                root = sym.root if sym.is_Derived else sym
+                if root.is_Time and self.t is not None:
+                    # time-derived dimension as a value (subsampled
+                    # ConditionalDimension etc.) — BaseCtx semantics
+                    return BaseCtx.symbol(self, sym)
                 raise CompilationError(f"Unbound dimension {sym}")
             dims = list(self.region)
             j = dims.index(name)

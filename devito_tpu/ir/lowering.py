@@ -112,13 +112,30 @@ class Schedule:
         return self.prologue + self.body + self.epilogue
 
 
+
+LOOP_TIME = sympy.Symbol('__loop_time__')
+
+
+def has_time_lead(fn, dims=None):
+    """True when the function's leading axis is a time axis — a
+    Time/Stepping/Conditional dimension, or ANY dimension a TimeFunction
+    was given as its time_dim (reference accepts plain Dimensions)."""
+    dims = dims if dims is not None else fn.dimensions
+    if not dims:
+        return False
+    return (dims[0].is_Time or isinstance(dims[0], ConditionalDimension)
+            or (getattr(fn, 'is_TimeFunction', False)
+                and fn.time_dim is dims[0]))
+
+
 def time_access_of(access):
     """For a function access, return (time_kind, offset_expr) — how its
     (possibly absent) time index relates to the loop variable."""
     fn = access.function
     dims = fn.dimensions
-    if not dims or not dims[0].is_Time and not isinstance(
-            dims[0], ConditionalDimension):
+    if not dims:
+        return (None, None)
+    if not has_time_lead(fn, dims):
         return (None, None)
     d0 = dims[0]
     arg0 = access.args[0]
@@ -145,9 +162,9 @@ def time_access_of(access):
         return ('cond', _off(arg0))
     if d0.is_Stepping:
         return ('stepping', _off(arg0))
-    if d0.is_Time:
-        return ('save', _off(arg0))
-    return (None, None)
+    # is_Time, or a plain dimension serving as a TimeFunction's time
+    # axis: full-history (save) indexing
+    return ('save', _off(arg0))
 
 
 def space_index_specs(access):
@@ -161,8 +178,7 @@ def space_index_specs(access):
     fn = access.function
     dims = fn.dimensions
     args = access.args
-    start = 1 if (dims and (dims[0].is_Time or
-                            isinstance(dims[0], ConditionalDimension))) else 0
+    start = 1 if has_time_lead(fn, dims) else 0
     specs = []
     for d, a in zip(dims[start:], args[start:]):
         a = sympy.sympify(a)
@@ -197,8 +213,7 @@ def space_offsets_of(access, absolute='raise'):
     fn = access.function
     dims = fn.dimensions
     args = access.args
-    start = 1 if (dims and (dims[0].is_Time or
-                            isinstance(dims[0], ConditionalDimension))) else 0
+    start = 1 if has_time_lead(fn, dims) else 0
     offs = []
     for d, a in zip(dims[start:], args[start:]):
         off = sympy.simplify(a - d)
@@ -223,8 +238,7 @@ def space_offsets_of(access, absolute='raise'):
 def _has_time(expr):
     for f in retrieve_functions(expr):
         dims = f.function.dimensions
-        if dims and (dims[0].is_Time or isinstance(dims[0],
-                                                   ConditionalDimension)):
+        if has_time_lead(f.function, dims):
             if time_access_of(f)[0] == 'abs':
                 # absolute (constant/runtime-symbol) time index: the
                 # access is loop-invariant, not time-dependent
@@ -256,8 +270,7 @@ def _restrict_subdims(lhs, region):
     fn = lhs.function
     dims = fn.dimensions
     args = lhs.args
-    start = 1 if (dims and (dims[0].is_Time or isinstance(
-        dims[0], ConditionalDimension))) else 0
+    start = 1 if has_time_lead(fn, dims) else 0
     own = set(fn.space_dimensions)
     out = list(region)
     for axis, a in enumerate(args[start:]):
@@ -369,10 +382,44 @@ def lower_one(eq):
         cd = fn.dimensions[0]
         cond_factor = cd.factor
         cond = cd.condition
-    # equations over a ConditionalDimension via implicit_dims
-    for d in as_tuple(eq.implicit_dims):
-        if isinstance(d, ConditionalDimension) and d.condition is not None:
-            cond = d.condition if cond is None else sympy.And(cond, d.condition)
+    # equations over ConditionalDimensions: via implicit_dims, or by a
+    # bare ConditionalDimension SYMBOL appearing in the rhs/condition
+    # (reference: test_dimension.py test_no_index:1225 — using the dim
+    # in an expression pulls in its guard)
+    implicit = list(as_tuple(eq.implicit_dims))
+    for s in sympy.sympify(rhs).free_symbols:
+        if isinstance(s, ConditionalDimension) and s not in implicit:
+            implicit.append(s)
+    for d in implicit:
+        if not isinstance(d, ConditionalDimension):
+            continue
+        if d.condition is not None:
+            cond = d.condition if cond is None else sympy.And(
+                cond, d.condition)
+        if d.factor is not None and tk != 'cond':
+            # a factor-type dim guards on parent % factor == 0
+            # (reference: test_implict_dims_multiple:1418); symbolic
+            # (Constant) factors resolve at run time
+            fguard = sympy.Eq(sympy.Mod(d.parent, d.factor), 0,
+                              evaluate=False)
+            cond = fguard if cond is None else sympy.And(cond, fguard)
+    if cond is not None:
+        # a PLAIN dimension serving as the time axis (reference idiom:
+        # TimeFunction(dimensions=[Dimension('time')])) is not is_Time,
+        # so the translator cannot recognise it — canonicalize every
+        # time-axis symbol in the condition to LOOP_TIME
+        tsyms = set()
+        td = getattr(fn, 'time_dim', None)
+        if td is not None:
+            tsyms.add(td)
+            r = getattr(td, 'parent', None) or getattr(td, 'root', None)
+            if r is not None:
+                tsyms.add(r)
+        sub = {s: LOOP_TIME for s in cond.free_symbols
+               if isinstance(s, Dimension)
+               and (s.is_Time or (s in tsyms and not s.is_Space))}
+        if sub:
+            cond = cond.subs(sub)
 
     time_dep = tk is not None or _has_time(rhs) or cond_factor is not None
     return LoweredEq(fn, toff, tk, region, rhs,

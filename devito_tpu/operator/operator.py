@@ -213,6 +213,8 @@ class Operator:
                     if isinstance(s, Dimension) or isinstance(
                             s, AbstractFunction):
                         continue
+                    if s.name == '__loop_time__':
+                        continue  # canonical time marker, bound to t
                     if isinstance(s, sympy.Symbol):
                         syms[s.name] = s
         # sparse geometry always needs spacings
@@ -220,6 +222,15 @@ class Operator:
             if fn.grid is not None:
                 for d in fn.grid.dimensions:
                     syms[d.spacing.name] = d.spacing
+        # symbolic (Constant) subsampling factors of conditional time
+        # dims ride the params so row indexing t // factor traces the
+        # runtime value (reference: test_symbolic_factor:1331)
+        for fn in reads.values():
+            dims = getattr(fn, 'dimensions', ())
+            if dims and getattr(dims[0], 'is_Conditional', False):
+                f = dims[0].factor
+                if getattr(f, 'name', None) is not None:
+                    syms[f.name] = f
         self._symbols = syms
 
         # grid (for spacing defaults)
@@ -505,6 +516,19 @@ class Operator:
         so e.g. a forward acoustic operator with nt-row sources/receivers
         runs t in [1, nt-2]."""
         max_up, max_down = 0, 0
+        def _cond_bound(td, size, off):
+            """Static time_M bound implied by a subsampled save array —
+            None when it cannot be known statically: a runtime-
+            overridable (Constant) factor, or a condition that gates
+            writes so rows do not map 1:1 to loop steps (reference:
+            test_dimension.py test_factor_and_condition:2036)."""
+            if getattr(td, 'condition', None) is not None:
+                return None
+            f = getattr(td, 'factor', None)
+            if f is None or getattr(f, 'name', None) is not None:
+                return None
+            return int(f) * (size - off) - 1
+
         sized, cond_bounds = [], []
         for it in self._schedule.body:
             accs = []
@@ -516,11 +540,13 @@ class Operator:
                 accs = list(retrieve_functions(it.expr))
                 if it.kind == 'interp' and it.sparse.is_SparseTimeFunction:
                     td = it.sparse.dimensions[0]
-                    if getattr(td, 'is_Conditional', False) and td.factor:
+                    if getattr(td, 'is_Conditional', False) and \
+                            td.factor is not None:
                         # subsampled recording: row t//factor
-                        cond_bounds.append(
-                            td.factor * (it.sparse.shape[0]
-                                         - it.target_time_off) - 1)
+                        cb = _cond_bound(td, it.sparse.shape[0],
+                                         it.target_time_off)
+                        if cb is not None:
+                            cond_bounds.append(cb)
                     else:
                         sized.append(it.sparse.shape[0] - 1)
                         max_up = max(max_up, it.target_time_off)
@@ -539,8 +565,9 @@ class Operator:
                     continue
                 if tk == 'cond':
                     size = fn._time_size or getattr(fn, 'save', None) or 1
-                    f = fn.dimensions[0].factor or 1
-                    cond_bounds.append(f * (size - off) - 1)
+                    cb = _cond_bound(fn.dimensions[0], size, off)
+                    if cb is not None:
+                        cond_bounds.append(cb)
                     continue
                 max_up = max(max_up, off)
                 max_down = max(max_down, -off)

@@ -615,13 +615,26 @@ class TimeFunction(Function):
         if time_dim is None and dims:
             # a leading time/stepping dim in `dimensions=` (the reference
             # rebuild convention: u.func(dimensions=(t, x1, y1))) becomes
-            # the time dim; the rest are the space dims
+            # the time dim; the rest are the space dims. A PLAIN leading
+            # dimension also serves as the time axis when `shape=` covers
+            # it (reference idiom: TimeFunction(shape=(50,),
+            # dimensions=[time]) with time = Dimension('time') —
+            # tests/test_dimension.py test_implicit_dims:1389)
             dims = as_tuple(dims)
             lead = dims[0]
+            sh = kwargs.get('shape')
+            covers_time = sh is not None and \
+                len(as_tuple(sh)) == len(dims)
             if getattr(lead, 'is_Time', False) or \
-                    getattr(lead, 'is_Stepping', False):
+                    getattr(lead, 'is_Stepping', False) or covers_time:
                 time_dim = lead
                 kwargs['dimensions'] = dims[1:]
+                if covers_time:
+                    sh = as_tuple(sh)
+                    if save is None and not getattr(lead, 'is_Stepping',
+                                                    False):
+                        cls._save = save = sh[0]
+                    kwargs['shape'] = sh[1:]
         cls._user_time_dim = time_dim
         super().__init_metadata__(**kwargs)
         cls._constructor_kwargs.update(time_order=time_order, save=save)
