@@ -193,6 +193,31 @@ class AbstractFunction(Differentiable, sympy.Function):
                 f"got {len(indices)}")
         return type(self)(*[sympy.sympify(i) for i in indices])
 
+    def indexify(self):
+        """Integer-index form of this access: spacing-symbol offsets
+        (``x + 1.0*h_x``) and staggered half-spacings reduce to plain
+        integer shifts (reference: lower_exprs' indexification,
+        devito/ir/equations/algorithms.py:99 and Indexed semantics —
+        tests/test_symbolics.py test_float_indices:31)."""
+        idx = []
+        for d, a in zip(self.dimensions, self.args):
+            e = sympy.sympify(a)
+            sp = getattr(d, 'spacing', None)
+            if sp is not None:
+                e = e.subs(sp, 1)
+            e = sympy.nsimplify(e, rational=True)
+            # integral floats/rationals -> Integers (x + 1.0 -> x + 1)
+            e = e.subs({f: int(f) for f in e.atoms(sympy.Float)
+                        if float(f).is_integer()})
+            e = e.subs({r: int(r) for r in e.atoms(sympy.Rational)
+                        if r.q == 1})
+            # staggered half-offsets are metadata, not array shifts
+            off = self.function.stagger_offset(d)
+            if off != 0 and sympy.simplify(e - d - off) == 0:
+                e = d
+            idx.append(e)
+        return type(self)(*idx)
+
     # -- structural helpers ----------------------------------------------
 
     def _subs_index(self, position, delta):

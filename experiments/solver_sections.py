@@ -22,6 +22,9 @@ def main():
     opt = 'advanced'
     if len(sys.argv) > 5 and sys.argv[5] == 'bf16':
         opt = ('advanced', {'storage-dtype': 'bfloat16'})
+    elif len(sys.argv) > 5 and sys.argv[5] == 'bf16all':
+        opt = ('advanced', {'storage-dtype': 'bfloat16',
+                            'storage-dtype-scope': 'all'})
 
     from devito_tpu.models.seismic import (acoustic_setup, tti_setup,
                                            elastic_setup,
