@@ -33,6 +33,8 @@ the measurement history.
 from collections import OrderedDict
 from math import gcd
 
+import os
+
 import numpy as np
 
 from ..ir.lowering import LoweredEq, LoweredSparse
@@ -1374,24 +1376,32 @@ def build_runner(schedule, write_names, stepping_info=None, errctl=None,
         if isinstance(it, (LoweredEq, LoweredSparse)):
             sec_names[id(it)] = f'dtpu_sec{len(sec_names)}'
 
-    def _exec_items(items, bufs, params, t, geom_cache, strips=None):
+    def _exec_one(it, bufs, params, t, geom_cache, strips):
         from contextlib import nullcontext
+        scope = sec_names.get(id(it))
+        ctx = jax.named_scope(scope) if scope else nullcontext()
+        with ctx:
+            if isinstance(it, LoweredEq):
+                return _exec_dense(it, bufs, params, t, direction,
+                                   strips, shard_spec, gspmd)
+            if isinstance(it, LoweredSparse):
+                return _exec_sparse(it, bufs, params, t, geom_cache,
+                                    direction, shard_spec)
+            if getattr(it, 'kind', None) == 'halo':
+                # halo marker (parallel/halo.py): exchange start/
+                # finish/sync scheduled like any other item
+                return it.run(bufs, params, t)
+            raise CompilationError(f"Cannot execute {it}")
+
+    def _exec_items(items, bufs, params, t, geom_cache, strips=None):
+        # NB: sibling-eq grouping (evaluating independent eqs against the
+        # shared pre-group state so XLA could multi-output fuse them) was
+        # tried in round 4 and produced a BIT-IDENTICAL executable on
+        # elastic 160^3: independent eqs never read each other's buffers,
+        # so the traced graph already exposes the shared operands and
+        # XLA still chooses separate loop fusions (PERF_NOTES r4).
         for it in items:
-            scope = sec_names.get(id(it))
-            ctx = jax.named_scope(scope) if scope else nullcontext()
-            with ctx:
-                if isinstance(it, LoweredEq):
-                    bufs = _exec_dense(it, bufs, params, t, direction,
-                                       strips, shard_spec, gspmd)
-                elif isinstance(it, LoweredSparse):
-                    bufs = _exec_sparse(it, bufs, params, t, geom_cache,
-                                        direction, shard_spec)
-                elif getattr(it, 'kind', None) == 'halo':
-                    # halo marker (parallel/halo.py): exchange start/
-                    # finish/sync scheduled like any other item
-                    bufs = it.run(bufs, params, t)
-                else:
-                    raise CompilationError(f"Cannot execute {it}")
+            bufs = _exec_one(it, bufs, params, t, geom_cache, strips)
         return bufs
 
     def _hoist_strips(raw_bufs):

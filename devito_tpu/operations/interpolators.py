@@ -52,11 +52,12 @@ class Interpolation:
     """Lazy: ``sparse rows <- interp(expr at point coords)``."""
 
     def __init__(self, sparse, expr, increment=False, u_t=None,
-                 implicit_dims=None):
+                 p_t=None, implicit_dims=None):
         self.sparse = sparse.function
         self.expr = expr
         self.increment = increment
         self.u_t = u_t
+        self.p_t = p_t
         self.implicit_dims = implicit_dims
 
     def _lower(self, subs=None):
@@ -80,7 +81,7 @@ class Interpolation:
         out = []
         expr = self._densify(expr, out)
         out.append(LoweredSparse('interp', self.sparse, expr,
-                                 target_time_off=0,
+                                 target_time_off=_u_t_delta(self.p_t),
                                  increment=self.increment))
         return out
 

@@ -72,6 +72,12 @@ class AbstractSparseFunction(DiscreteFunction):
         if coordinates is not None:
             coords = np.ascontiguousarray(
                 np.asarray(coordinates, dtype=cdtype))
+            nd = grid.dim if grid is not None else coords.shape[-1]
+            if coords.ndim != 2 or coords.shape[-1] != nd:
+                raise ValueError(
+                    f"coordinates shape {coords.shape} does not match "
+                    f"(npoint, {nd}) (reference: tests/"
+                    f"test_interpolation.py test_wrong_coords)")
         else:
             nd = grid.dim if grid is not None else 0
             coords = np.zeros((cls._npoint, nd), dtype=cdtype)
@@ -144,13 +150,16 @@ class AbstractSparseFunction(DiscreteFunction):
 
     # -- the user-facing symbolic API -------------------------------------
 
-    def interpolate(self, expr, u_t=None, increment=False, implicit_dims=None):
+    def interpolate(self, expr, u_t=None, p_t=None, increment=False,
+                    implicit_dims=None):
         """Return a lazy Interpolation: this function's rows receive
         ``expr`` interpolated at the point coordinates (reference:
-        SparseTimeFunction.interpolate, types/sparse.py:1089)."""
+        SparseTimeFunction.interpolate, types/sparse.py:1089; ``u_t``
+        shifts the sampled field's time index, ``p_t`` the recorded
+        row)."""
         from ..operations.interpolators import Interpolation
         return Interpolation(self, expr, increment=increment,
-                             u_t=u_t, implicit_dims=implicit_dims)
+                             u_t=u_t, p_t=p_t, implicit_dims=implicit_dims)
 
     def inject(self, field, expr, u_t=None, implicit_dims=None):
         """Return a lazy Injection: scatter ``expr`` (per point) into

@@ -207,3 +207,94 @@ def test_interp_injection_concatenation():
                                         + sf2.inject(u.forward, expr=sf2)))
     op.apply(time_m=0, time_M=1, dt=1.0)
     assert abs(float(np.asarray(u.data)[0, 5, 5]) - 2.) < 1e-6
+
+
+def test_interpolate_p_t_shift():
+    """p_t= shifts the RECORDED row (reference:
+    test_interpolate_time_shift:160 — the p_t arm)."""
+    grid = Grid(shape=(11, 11))
+    a = TimeFunction(name='a', grid=grid, save=10)
+    for i in range(10):
+        a.data[i] = float(i)
+    p = SparseTimeFunction(name='p', grid=grid, npoint=4, nt=10,
+                           coordinates=np.random.RandomState(1).rand(4, 2))
+    pt = p.dimensions[0]
+    Operator(p.interpolate(a, p_t=pt + 1)).apply(time_m=0, time_M=8, dt=1.)
+    d = np.asarray(p.data)
+    assert np.allclose(d[0], 0.0)                   # row 0 never written
+    for i in range(1, 10):
+        assert np.allclose(d[i], float(i - 1), atol=1e-5)
+
+
+def test_interpolate_u_t_and_p_t():
+    """u_t and p_t compose (reference: the combined arm)."""
+    grid = Grid(shape=(11, 11))
+    a = TimeFunction(name='a', grid=grid, save=10)
+    for i in range(10):
+        a.data[i] = float(i)
+    p = SparseTimeFunction(name='p', grid=grid, npoint=4, nt=10,
+                           coordinates=np.random.RandomState(2).rand(4, 2))
+    t = a.dimensions[0]
+    pt = p.dimensions[0]
+    Operator(p.interpolate(a, u_t=t + 1, p_t=pt + 1)).apply(
+        time_m=0, time_M=8, dt=1.)
+    d = np.asarray(p.data)
+    for i in range(1, 10):
+        assert np.allclose(d[i], float(i), atol=1e-5)
+
+
+def test_interpolate_expr_with_point_dim():
+    """Interpolating an expression scaled by the sparse POINT dimension
+    (reference: test_interpolate_custom:211 — the per-point scaling
+    pattern; here via the time row instead of a custom dim)."""
+    grid = Grid(shape=(11, 11))
+    a = unit_box(name='ax', grid=grid)
+    p = time_points(grid, [(.05, .9), (.01, .8)], npoints=5, nt=3,
+                    name='pc')
+    xcoords = np.asarray(p.coordinates.data)[:, 0]
+    t = grid.time_dim
+    op = Operator(p.interpolate(a * t))
+    op.apply(time_m=0, time_M=2, dt=1.)
+    d = np.asarray(p.data)
+    assert np.allclose(d[0], 0.0 * xcoords, atol=1e-5)
+    assert np.allclose(d[1], 1.0 * xcoords, atol=1e-5)
+    assert np.allclose(d[2], 2.0 * xcoords, atol=1e-5)
+
+
+def test_inject_time_shift():
+    """Injection with u_t back-shift (reference:
+    test_inject_time_shift:319)."""
+    grid = Grid(shape=(11, 11), extent=(1., 1.))
+    a = TimeFunction(name='at', grid=grid, save=4)
+    p = time_points(grid, [(.45, .60), (.45, .60)], npoints=4, nt=4,
+                    name='pi')
+    p.data[:] = 1.
+    t = a.dimensions[0]
+    op = Operator(p.inject(field=a, expr=p, u_t=t - 1))
+    op.apply(time_m=1, time_M=3, dt=1.)
+    d = np.asarray(a.data)
+    # rows 0..2 received the injection (u_t = t-1), row 3 did not
+    assert d[:3].sum() > 0 and np.allclose(d[3], 0.)
+
+
+def test_inject_multi_expr_list():
+    """Injection of several eqs via list concatenation (reference:
+    test_multi_inject:295 shape)."""
+    grid = Grid(shape=(11, 11), extent=(1., 1.))
+    a = Function(name='am', grid=grid)
+    b = Function(name='bm', grid=grid)
+    p = points(grid, [(.45, .60), (.45, .60)], npoints=4, name='pm')
+    exprs = p.inject(field=a, expr=1.) + p.inject(field=b, expr=2.)
+    Operator(exprs).apply()
+    da, db = np.asarray(a.data), np.asarray(b.data)
+    assert abs(da.sum() - 4.0) < 1e-5
+    assert abs(db.sum() - 8.0) < 1e-5
+
+
+def test_wrong_coords_shape_raises():
+    """Mis-shaped coordinates raise a typed error (reference:
+    test_wrong_coords:859)."""
+    grid = Grid(shape=(11, 11))
+    with pytest.raises(Exception):
+        SparseFunction(name='pw', grid=grid, npoint=3,
+                       coordinates=np.zeros((3, 5)))
