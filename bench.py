@@ -157,8 +157,9 @@ def child_main(n, so):
 
     tiles = os.environ.get('BENCH_TILES')
     if tiles:
-        from devito_tpu.compiler import pallas_backend as pb
-        pb.set_tile_override(tuple(int(v) for v in tiles.split(',')))
+        from devito_tpu.compiler.executor import _load_pallas
+        _load_pallas().set_tile_override(
+            tuple(int(v) for v in tiles.split(',')))
 
     # heartbeat: the tunnel sporadically stalls a single fetch for
     # 100-200 s while the child is otherwise healthy; emit liveness

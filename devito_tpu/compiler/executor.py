@@ -347,10 +347,24 @@ def _eval_scalar(e, params):
     raise CompilationError(f"Cannot evaluate runtime index {e}")
 
 
+
+def _load_pallas():
+    """Import the EXPERIMENTAL Pallas backend (moved to experiments/ in
+    round 4 — measured 18x slower than the XLA executor on v5e, see
+    PERF_NOTES; requires the repo checkout on sys.path)."""
+    import importlib
+    try:
+        return importlib.import_module('experiments.pallas_backend')
+    except ImportError as exc:
+        raise CompilationError(
+            "backend='pallas' is experimental and lives in experiments/ "
+            "(repo checkout required); the shipped compute path is the "
+            "XLA executor") from exc
+
+
 def _use_pallas():
     import jax
     from ..parameters import configuration
-    from . import pallas_backend as pb
     mode = configuration['backend']
     if mode == 'xla':
         return False, False
@@ -719,7 +733,7 @@ def _exec_dense(eq, bufs, params, t, direction, strips=None,
     val = None
     val_fullz = False
     if use and t is not None:
-        from . import pallas_backend as pb
+        pb = _load_pallas()
         plan = eq.__dict__.get('_pallas_plan', '?')
         if plan == '?':
             plan = pb.plan_for(eq, None)

@@ -1007,10 +1007,14 @@ class Operator:
         shadow-copied outputs and a shrunk time range)."""
         import jax
         import jax.numpy as jnp
-        from ..compiler import pallas_backend as pb
+        from ..compiler.executor import _load_pallas
 
         if jax.default_backend() == 'cpu' or not self._schedule.body:
             return
+        try:
+            pb = _load_pallas()
+        except Exception:
+            return  # experimental backend unavailable: nothing to tune
         if mode == 'aggressive':
             cands = [(4, 256), (8, 32), (8, 64), (8, 128), (8, 256),
                      (16, 64), (16, 128), (16, 32), (32, 32), (4, 128)]
@@ -1104,8 +1108,10 @@ class Operator:
 
     def _compiled(self, wbufs, rbufs, params, tm, tM):
         import jax
-        from ..compiler import pallas_backend as pb
-        pb.set_tile_override(getattr(self, '_tile_override', None))
+        tile = getattr(self, '_tile_override', None)
+        if tile is not None or configuration['backend'] == 'pallas':
+            from ..compiler.executor import _load_pallas
+            _load_pallas().set_tile_override(tile)
         runner = getattr(self, '_runner_sel', None) or self._runner
         key = (id(runner), _buf_signature(wbufs), _buf_signature(rbufs),
                tuple(sorted(params)))

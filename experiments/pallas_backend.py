@@ -1,4 +1,13 @@
-"""Pallas stencil backend: lower a dense LoweredEq to a TPU kernel.
+"""Pallas stencil backend (EXPERIMENTAL — moved out of the shipped
+package in round 4, VERDICT item 10): lower a dense LoweredEq to a TPU
+kernel.
+
+Measured on v5e the hand-built Pallas pipelines peak at ~230-310 GB/s of
+DMA bandwidth vs the XLA executor's ~720 GB/s apparent streaming
+(PERF_NOTES stencil_probe6/9), leaving this lowering ~18x slower on the
+acoustic stencil — it stays available for research via
+``configuration['backend'] = 'pallas'`` with this repo checkout on the
+path, but is not part of the shipped compute path.
 
 This is the TPU-native replacement for the reference's optimized generated
 stencil loops (blocking + OpenMP/SIMD, devito/passes/clusters/blocking.py +
@@ -17,11 +26,11 @@ from collections import OrderedDict
 import numpy as np
 import sympy
 
-from ..ir.lowering import time_access_of, space_offsets_of
-from ..types.basic import AbstractFunction, retrieve_functions
-from ..types.dimension import Dimension
-from ..parameters import configuration
-from ..logger import debug
+from devito_tpu.ir.lowering import time_access_of, space_offsets_of
+from devito_tpu.types.basic import AbstractFunction, retrieve_functions
+from devito_tpu.types.dimension import Dimension
+from devito_tpu.parameters import configuration
+from devito_tpu.logger import debug
 
 __all__ = ['PallasPlan', 'plan_for', 'execute_plan']
 
@@ -143,7 +152,7 @@ class PallasPlan:
 
 def plan_for(eq, stepping_info):
     """Build a PallasPlan for a dense eq, or None if not kernelizable."""
-    from ..exceptions import InvalidOperator
+    from devito_tpu.exceptions import InvalidOperator
     fn = eq.target
     if fn.grid is None:
         return None
@@ -267,7 +276,7 @@ class _TileCtxV2:
         self.region = region
 
     def symbol(self, sym):
-        from ..exceptions import CompilationError
+        from devito_tpu.exceptions import CompilationError
         name = sym.name
         if name in self.param_refs:
             return self.param_refs[name][0]
@@ -313,8 +322,8 @@ def execute_plan(plan, resolved, params, interpret, target_prev=None):
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
-    from .translate import translate
-    from ..utils import round_up
+    from devito_tpu.compiler.translate import translate
+    from devito_tpu.utils import round_up
 
     eq = plan.eq
     ndim = len(eq.region)
