@@ -325,7 +325,14 @@ def lower_one(eq):
         grid = getattr(sdset, '_grid', None) or eq.lhs.function.grid
         out = []
         for region in sdset.region_bounds(grid):
-            sub = lower_one(type(eq)(eq.lhs, eq.rhs, evaluate=False))
+            # the clone must keep implicit_dims/coefficients — dropping
+            # them silently discarded ConditionalDimension guards on
+            # SubDomainSet equations (reference: test_subdomains.py
+            # test_guarding:675)
+            sub = lower_one(type(eq)(eq.lhs, eq.rhs,
+                                     coefficients=eq._coefficients,
+                                     implicit_dims=eq.implicit_dims,
+                                     evaluate=False))
             sub.region = region
             out.append(sub)
         return out

@@ -136,3 +136,124 @@ def test_subdomainset_sharded():
         return np.asarray(f.data)
 
     assert np.allclose(run(False), run(True), atol=1e-5)
+
+
+def test_subdomainset_subclass_scalar_bounds():
+    """Subclass-style SubDomainSet with SCALAR bounds (reference:
+    test_issue_1761:551 — numerical form)."""
+    from devito_tpu import Function
+    from devito_tpu.finite_differences.elementary import sin
+
+    class DummySubdomains(SubDomainSet):
+        name = 'dummydomain'
+
+    grid = Grid(shape=(10, 10))
+    dummy = DummySubdomains(N=1, bounds=(1, 1, 1, 1), grid=grid)
+    f = TimeFunction(name='f', grid=grid)
+    g = TimeFunction(name='g', grid=grid)
+    phi = Function(name='phi', grid=grid)
+    theta = Function(name='theta', grid=grid)
+    phi.data[:] = np.pi / 2     # sin(phi) = 1
+    theta.data[:] = np.pi / 2
+    f.data[:] = 2.
+    g.data[:] = 3.
+    op = Operator([Eq(f.forward, f * sin(phi), subdomain=dummy),
+                   Eq(g.forward, g * sin(theta), subdomain=dummy)])
+    op.apply(time_M=1, dt=1.)
+    df, dg = np.asarray(f.data[0]), np.asarray(g.data[0])
+    assert np.allclose(df[1:-1, 1:-1], 2., atol=1e-5)
+    assert np.allclose(dg[1:-1, 1:-1], 3., atol=1e-5)
+    # outside the region: untouched initial values
+    assert np.allclose(df[0], 2.) and np.allclose(dg[0], 3.)
+
+
+def test_subdomainset_two_sets_one_refused(monkeypatch):
+    """Two sets + re-update of the first target (reference:
+    test_issue_1761_b:577 — numerical form)."""
+    from devito_tpu import Function
+
+    class D1(SubDomainSet):
+        name = 'd1761b1'
+
+    class D2(SubDomainSet):
+        name = 'd1761b2'
+
+    grid = Grid(shape=(10, 10))
+    d1 = D1(N=1, bounds=(1, 1, 1, 1), grid=grid)
+    d2 = D2(N=1, bounds=(2, 2, 2, 2), grid=grid)
+    f = TimeFunction(name='f', grid=grid)
+    g = TimeFunction(name='g', grid=grid)
+    op = Operator([Eq(f.forward, f + 1, subdomain=d1),
+                   Eq(g.forward, g + 2, subdomain=d2),
+                   Eq(f.forward, f.forward + 10, subdomain=d1)])
+    op.apply(time_M=0, dt=1.)
+    df, dg = np.asarray(f.data[1]), np.asarray(g.data[1])
+    assert np.all(df[1:-1, 1:-1] == 11.)
+    assert np.all(dg[2:-2, 2:-2] == 2.)
+    assert np.all(dg[:2] == 0.)
+
+
+def test_subdomainset_guarded_by_constant_condition():
+    """SubDomainSet equations guarded by Constant-valued conditions
+    (reference: test_guarding:675 — numerical form)."""
+    from devito_tpu import Constant, ConditionalDimension
+
+    class Dummy(SubDomainSet):
+        name = 'dummyg'
+
+    grid = Grid(shape=(10, 10))
+    dummy = Dummy(N=1, bounds=(1, 1, 1, 1), grid=grid)
+    time = grid.time_dim
+    c = Constant(name='c', value=0.)
+    cond_a = ConditionalDimension(name='cond_a', parent=time,
+                                  condition=c < 1.)
+    cond_b = ConditionalDimension(name='cond_b', parent=time,
+                                  condition=c >= 1.)
+    f = TimeFunction(name='f', grid=grid)
+    g = TimeFunction(name='g', grid=grid)
+    op = Operator([Eq(f.forward, f + 1., subdomain=dummy,
+                      implicit_dims=[cond_a]),
+                   Eq(g.forward, g + 1., subdomain=dummy,
+                      implicit_dims=[cond_b])])
+    op.apply(time_M=3, dt=1., c=0.)
+    assert np.all(np.asarray(f.data[0])[1:-1, 1:-1] == 4.)
+    assert np.all(np.asarray(g.data[0]) == 0.)
+
+    f.data[:] = 0.
+    g.data[:] = 0.
+    op.apply(time_M=3, dt=1., c=2.)
+    assert np.all(np.asarray(f.data[0]) == 0.)
+    assert np.all(np.asarray(g.data[0])[1:-1, 1:-1] == 4.)
+
+
+def test_subdomainset_cire_derivative():
+    """A nested derivative on a SubDomainSet (CIRE interplay; reference:
+    test_issue_1761_d:650 — numerical form)."""
+    grid = Grid(shape=(12, 12), extent=(11., 11.))
+    sd = SubDomainSet(name='dcire', N=1,
+                      bounds=(np.array([2]), np.array([2]),
+                              np.array([2]), np.array([2])))
+    f = TimeFunction(name='f', grid=grid, space_order=4)
+    op = Operator(Eq(f.forward, f.dx.dx + 1, subdomain=sd),
+                  subs=grid.spacing_map)
+    op.apply(time_M=1, dt=1.)
+    d = np.asarray(f.data[0])
+    assert np.all(d[2:-2, 2:-2] != 0.)
+    assert np.all(d[:2] == 0.) and np.all(d[:, :2] == 0.)
+
+
+def test_multi_eq_split_regions():
+    """Equations on the same set with a dependence in between
+    (reference: test_multi_eq_split:368 shape)."""
+    grid = Grid(shape=(10, 10))
+    sd = SubDomainSet(name='dsplit', N=2,
+                      bounds=(np.array([1, 6]), np.array([6, 1]),
+                              np.array([1, 1]), np.array([1, 1])))
+    f = Function(name='f', grid=grid)
+    g = Function(name='g', grid=grid)
+    Operator([Eq(f, f + 1, subdomain=sd),
+              Eq(g, f * 2, subdomain=sd)]).apply()
+    df, dg = np.asarray(f.data), np.asarray(g.data)
+    assert np.all(dg[1:3, 1:-1] == 2.)
+    assert np.all(dg[6:-1, 1:-1] == 2.)
+    assert dg.sum() == 2 * df.sum()
