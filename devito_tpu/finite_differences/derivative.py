@@ -93,6 +93,12 @@ class Derivative(Differentiable, sympy.Expr):
         if fd_order is None:
             so = getattr(expr, 'space_order', None)
             fd_order = so if so is not None else 2
+        elif isinstance(fd_order, dict):
+            # per-dimension orders for cross derivatives (reference:
+            # tests/test_derivatives.py test_xderiv_order:390 —
+            # f.dxdy(fd_order={x: 2, y: 2}))
+            so = getattr(expr, 'space_order', 2)
+            fd_order = tuple(fd_order.get(d, so) for d, _ in norm)
         x0n = {}
         for k, v in (x0 or {}).items():
             x0n[k] = _normalize_x0(v, k)
