@@ -12,12 +12,24 @@ from ..utils import as_tuple
 __all__ = ['assign', 'initialize_function', 'gaussian_smooth', 'smooth']
 
 
-def assign(f, rhs=0, **kwargs):
-    """Assign a value (or one value per function) to function data."""
-    fns = as_tuple(f)
+def assign(f, rhs=0, options=None, **kwargs):
+    """Assign a value (or one value per function) to function data.
+
+    ``options``: per-function dicts of Eq options (reference:
+    builtins/initializers.py assign — ``options=[None, {'subdomain':
+    sd}]`` restricts that function's assignment to a SubDomain)."""
+    # NB: not as_tuple(f) — sympy iterates a bare Function access into
+    # its (empty) args, silently no-op'ing assign(f, v)
+    fns = [f] if hasattr(f, 'data') else list(as_tuple(f))
     vals = as_tuple(rhs, len(fns))
-    for fn, v in zip(fns, vals):
-        if np.isscalar(v):
+    opts = as_tuple(options, len(fns)) if options is not None else \
+        (None,) * len(fns)
+    for fn, v, o in zip(fns, vals, opts):
+        if o:
+            from ..types.equation import Eq
+            from ..operator import Operator
+            Operator(Eq(fn, v, **o), **kwargs).apply()
+        elif np.isscalar(v):
             fn.data[:] = v
         else:
             fn.data[:] = np.asarray(v)
@@ -55,7 +67,8 @@ def gaussian_smooth(f, sigma=1, truncate=4.0, mode='reflect'):
     Operator; here a separable convolution evaluated with jnp)."""
     import jax.numpy as jnp
 
-    data = f.data if hasattr(f, 'data') else np.asarray(f)
+    is_fn = hasattr(f, 'data') and not isinstance(f, np.ndarray)
+    data = f.data if is_fn else np.asarray(f)
     arr = jnp.asarray(np.asarray(data, dtype=np.float64))
     sigmas = as_tuple(sigma, arr.ndim)
     for axis, s in enumerate(sigmas):
@@ -77,7 +90,7 @@ def gaussian_smooth(f, sigma=1, truncate=4.0, mode='reflect'):
         arr = out
     result = np.asarray(arr).astype(data.dtype if hasattr(data, 'dtype')
                                     else np.float32)
-    if hasattr(f, 'data'):
+    if is_fn:
         f.data[:] = result
         return f
     return result
