@@ -560,13 +560,17 @@ def _x_chunk_plan(eq, region, t, strips, shard_spec):
         space = fn.shape_device[-len(fn.space_dimensions):]
         perrow = 4 * int(np.prod(space[1:]))
         hl, hr = fn.dev_halo[0]
-        # trigger on STORAGE bytes: the monolithic path's overhead is the
-        # staged-row copy at storage dtype (fp32 rows cost 2x bf16 ones),
-        # so fp32 wavefields cross into chunking at half the grid size —
-        # measured 256^3 fp32: mono 22.6 / chunked 26.3 GPts/s, while
-        # 256^3 bf16 stays mono (34.4 vs 33.3 chunked)
+        # trigger on the LARGEST single materialized row's STORAGE
+        # bytes: the monolithic cliff is one staged row no longer
+        # pinning/copying cheaply (fp32 rows cost 2x bf16 ones, so fp32
+        # wavefields cross at half the grid size — measured 256^3 fp32:
+        # mono 22.6 / chunked 26.3 GPts/s; 256^3 bf16 stays mono). NOT
+        # the sum over operands: a multi-field eq (TTI: u + 3 CIRE
+        # temps) whose 14 MB rows all pin individually must stay
+        # monolithic — summing triggered chunking at 192^3 and the
+        # per-chunk window converts dominated (10.6 vs ~6.5 ms/step, r4)
         itemb = np.dtype(fn.function.storage_dtype).itemsize
-        storeb += itemb * int(np.prod(space))
+        storeb = max(storeb, itemb * int(np.prod(space)))
         rowb += perrow
         halob += (hl + hr) * perrow
         mat.add(key)

@@ -637,7 +637,8 @@ class TimeFunction(Function):
                     kwargs['shape'] = sh[1:]
         cls._user_time_dim = time_dim
         super().__init_metadata__(**kwargs)
-        cls._constructor_kwargs.update(time_order=time_order, save=save)
+        cls._constructor_kwargs.update(time_order=time_order, save=save,
+                                       time_dim=time_dim)
 
     @classmethod
     def _make_dimensions(cls):
