@@ -333,6 +333,10 @@ def lower_one(eq):
                                      coefficients=eq._coefficients,
                                      implicit_dims=eq.implicit_dims,
                                      evaluate=False))
+            if isinstance(sub, list):
+                raise InvalidOperator(
+                    "Self-referential spatial recurrences on a "
+                    "SubDomainSet are not supported")
             sub.region = region
             out.append(sub)
         return out
@@ -429,11 +433,80 @@ def lower_one(eq):
             cond = cond.subs(sub)
 
     time_dep = tk is not None or _has_time(rhs) or cond_factor is not None
-    return LoweredEq(fn, toff, tk, region, rhs,
-                     increment=eq.is_Increment and eq._reduction is None,
-                     reduction=eq._reduction,
-                     condition=cond, time_dep=time_dep,
-                     cond_factor=cond_factor, lhs_access=lhs)
+    out = LoweredEq(fn, toff, tk, region, rhs,
+                    increment=eq.is_Increment and eq._reduction is None,
+                    reduction=eq._reduction,
+                    condition=cond, time_dep=time_dep,
+                    cond_factor=cond_factor, lhs_access=lhs)
+    return _split_spatial_recurrence(out)
+
+
+def _split_spatial_recurrence(leq):
+    """Lower a self-referential spatial recurrence to per-line equations.
+
+    An eq whose rhs reads ITS OWN write row at a nonzero spatial offset
+    (the BC-extrapolation idiom ``Eq(u[t+1, xleft, yi],
+    u[t+1, xleft+1, yi] + 1)``) is a sequential chain along that axis —
+    the reference's dependence analysis marks the loop SEQUENTIAL with a
+    direction (ir/support/basic.py Scope); a vectorized slice assignment
+    would silently compute the Jacobi variant. Split the (small, strip-
+    sized) extent into one equation per line, ordered so each line reads
+    the previous line's fresh value (reference: tests/test_dimension.py
+    test_bcs:363)."""
+    fn = leq.target
+    axes = {}
+    for a in retrieve_functions(leq.rhs):
+        if a.function.name != fn.name:
+            continue
+        tkk, toff2 = time_access_of(a)
+        if tkk != leq.time_kind:
+            continue
+        if leq.time_kind is not None:
+            # EXACT time-offset equality: a modulo-aliased row (e.g.
+            # u.backward sharing u.forward's physical slot at m=2) holds
+            # the OLD time level — monolithic read-then-overwrite is the
+            # correct Jacobi semantics there, not a recurrence
+            try:
+                if int(toff2) != int(leq.time_off):
+                    continue
+            except (TypeError, ValueError):
+                continue
+        # offsets via index specs: a subdim-indexed read (u[t+1,
+        # xleft+1, yi]) carries its offset relative to the SubDimension
+        specs = space_index_specs(a)
+        for j, sp in enumerate(specs):
+            if sp[0] == 'rel' and sp[2] != 0:
+                axes.setdefault(j, set()).add(sp[2])
+    if not axes:
+        return leq
+    if len(axes) > 1:
+        raise InvalidOperator(
+            f"Self-referential write-row reads along multiple axes in "
+            f"{leq}: no sequential order exists")
+    (j, offsets), = axes.items()
+    if min(offsets) < 0 < max(offsets):
+        raise InvalidOperator(
+            f"Self-referential write-row reads with mixed-sign offsets "
+            f"in {leq}: no sequential order exists")
+    lo, hi = leq.region[j]
+    if hi - lo > 64:
+        raise InvalidOperator(
+            f"Self-referential spatial recurrence over {hi - lo} lines "
+            f"in {leq}: only strip-sized (<= 64) extents are unrolled")
+    lines = range(lo, hi) if max(offsets) < 0 else \
+        reversed(range(lo, hi))
+    out = []
+    for i in lines:
+        sub = LoweredEq(leq.target, leq.time_off, leq.time_kind,
+                        tuple((i, i + 1) if k == j else r
+                              for k, r in enumerate(leq.region)),
+                        leq.rhs, increment=leq.increment,
+                        reduction=leq.reduction, condition=leq.condition,
+                        time_dep=leq.time_dep,
+                        cond_factor=leq.cond_factor,
+                        lhs_access=leq.lhs_access)
+        out.append(sub)
+    return out
 
 
 def _normalize_subs(subs):
