@@ -25,7 +25,8 @@ from .parameters import configuration, switchconfig  # noqa
 from .logger import set_log_level, logger, info, perf, warning, error  # noqa
 from .exceptions import (DevitoTpuError, CompilationError, InvalidOperator,  # noqa
                          InvalidArgument, ExecutionError)
-from .types import (Grid, SubDomain, SubDomainSet, Dimension, SpaceDimension,  # noqa
+from .types import (Grid, SubDomain, SubDomainSet, Border,  # noqa
+                    Dimension, SpaceDimension,  # noqa
                     TimeDimension, SteppingDimension, SubDimension,
                     ConditionalDimension, DefaultDimension, Constant,
                     Function, TimeFunction, Eq, Inc, ReduceMax, ReduceMin,

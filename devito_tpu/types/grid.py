@@ -16,7 +16,7 @@ from .dimension import (SpaceDimension, TimeDimension, SteppingDimension,
 from ..utils import as_tuple
 from ..parameters import configuration
 
-__all__ = ['Grid', 'SubDomain', 'SubDomainSet', 'Interior', 'Domain']
+__all__ = ['Grid', 'SubDomain', 'SubDomainSet', 'Border', 'Interior', 'Domain']
 
 _DEFAULT_DIM_NAMES = ['x', 'y', 'z']
 
@@ -274,6 +274,94 @@ class Interior(SubDomain):
 
     def define(self, dimensions):
         return {d: ('middle', 1, 1) for d in dimensions}
+
+
+class Border(SubDomain):
+    """The boundary frame of the domain as a set of per-side slabs
+    (reference: types/grid.py Border:948 — a MultiSubDomain over the
+    border region with configurable thickness, sides and corner policy).
+
+    ``thickness``: scalar, or one entry per dimension — each a scalar or
+    a (left, right) pair. ``dims``: optional {dim: 'left'|'right'|'both'}
+    restricting which sides carry a border. ``corners``: 'nooverlap'
+    (default — slabs partition the frame; earlier dims own the corners),
+    'overlap' (every slab spans the full extent of the other dims — the
+    corners execute once per touching slab), or 'nocorners' (corner
+    cells excluded entirely).
+    """
+
+    def __new__(cls, grid=None, thickness=1, dims=None,
+                corners='nooverlap', name=None):
+        if corners not in ('nooverlap', 'overlap', 'nocorners'):
+            raise ValueError(f"Unknown corners policy {corners!r}")
+        gdims = grid.dimensions
+        nd = len(gdims)
+        if isinstance(thickness, tuple):
+            if len(thickness) != nd:
+                raise ValueError(
+                    f"thickness {thickness} does not match the grid's "
+                    f"{nd} dimensions")
+            ths = thickness
+        else:
+            ths = (thickness,) * nd
+        pairs = []
+        for t in ths:
+            if isinstance(t, tuple):
+                if len(t) != 2:
+                    raise ValueError(
+                        f"per-dimension thickness must be a scalar or a "
+                        f"(left, right) pair, got {t}")
+                pairs.append((int(t[0]), int(t[1])))
+            else:
+                pairs.append((int(t), int(t)))
+        sides = {}
+        byname = {(k.name if hasattr(k, 'name') else k): v
+                  for k, v in (dims or {}).items()}
+        for d in gdims:
+            sides[d.name] = byname.get(d.name, 'both')
+
+        shape = grid.shape
+        regions = []  # per region: [(lt, rt), ...] thicknesses
+        for i, d in enumerate(gdims):
+            want = sides[d.name]
+            for side in ('left', 'right'):
+                if want not in (side, 'both'):
+                    continue
+                th = pairs[i][0 if side == 'left' else 1]
+                if th <= 0:
+                    continue
+                region = []
+                for j, dj in enumerate(gdims):
+                    if j == i:
+                        region.append((0, shape[i] - th) if side == 'left'
+                                      else (shape[i] - th, 0))
+                        continue
+                    lj, rj = pairs[j]
+                    wj = sides[dj.name]
+                    lcut = lj if wj in ('left', 'both') else 0
+                    rcut = rj if wj in ('right', 'both') else 0
+                    if corners == 'overlap':
+                        region.append((0, 0))
+                    elif corners == 'nocorners':
+                        # geometric corner cells excluded from every
+                        # slab — by the full thickness, regardless of
+                        # which sides carry a border (reference
+                        # test_one_sided_border nocorners values)
+                        region.append((lj, rj))
+                    else:  # nooverlap: earlier dims own the corners
+                        if j < i:
+                            region.append((lcut, rcut))
+                        else:
+                            region.append((0, 0))
+                regions.append(region)
+        bounds = []
+        for j in range(nd):
+            bounds.append(np.array([r[j][0] for r in regions],
+                                   dtype=np.int32))
+            bounds.append(np.array([r[j][1] for r in regions],
+                                   dtype=np.int32))
+        return SubDomainSet(name=name or 'border', N=len(regions),
+                            bounds=tuple(bounds), grid=grid)
 
 
 class SubDomainSet(SubDomain):

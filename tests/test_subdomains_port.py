@@ -257,3 +257,77 @@ def test_multi_eq_split_regions():
     assert np.all(dg[1:3, 1:-1] == 2.)
     assert np.all(dg[6:-1, 1:-1] == 2.)
     assert dg.sum() == 2 * df.sum()
+
+
+class TestBorder:
+    """Border frame regions (reference: tests/test_subdomains.py
+    TestBorder:783-975 — corner policies, uneven/one-sided borders)."""
+
+    def test_exceptions(self):
+        from devito_tpu import Border
+        grid = Grid(shape=(5,))
+        with pytest.raises(ValueError):
+            Border(grid, (1, 1))
+        with pytest.raises(ValueError):
+            Border(grid, ((1, 1, 1),))
+
+    @pytest.mark.parametrize('corners', ['nooverlap', 'overlap',
+                                         'nocorners'])
+    def test_uneven_border(self, corners):
+        """(reference: test_uneven_border:794)."""
+        from devito_tpu import Border, Function
+        shape = (6, 8)
+        grid = Grid(shape=shape)
+        border = Border(grid, (1, (2, 1)), corners=corners)
+        f = Function(name='f', grid=grid, dtype=np.int32)
+        Operator(Eq(f, f + 1, subdomain=border)).apply()
+        check = np.ones(shape)
+        check[1:-1, 2:-1] = 0
+        if corners == 'nocorners':
+            check[0, :2] = 0
+            check[-1, :2] = 0
+            check[0, -1] = 0
+            check[-1, -1] = 0
+        elif corners == 'overlap':
+            check[0, :2] = 2
+            check[-1, :2] = 2
+            check[0, -1] = 2
+            check[-1, -1] = 2
+        assert np.all(np.asarray(f.data) == check)
+
+    @pytest.mark.parametrize('corners', ['nooverlap', 'overlap',
+                                         'nocorners'])
+    def test_one_sided_border(self, corners):
+        """(reference: test_one_sided_border:824)."""
+        from devito_tpu import Border, Function
+        shape = (6, 8)
+        grid = Grid(shape=shape)
+        x, y = grid.dimensions
+        border = Border(grid, 1, dims={x: 'left', y: 'right'},
+                        corners=corners)
+        f = Function(name='f', grid=grid, dtype=np.int32)
+        Operator(Eq(f, f + 1, subdomain=border)).apply()
+        check = np.zeros(shape)
+        check[0, :] = 1
+        check[:, -1] = 1
+        if corners == 'overlap':
+            check[0, -1] = 2
+        elif corners == 'nocorners':
+            check[0, 0] = 0
+            check[0, -1] = 0
+            check[-1, -1] = 0
+        assert np.all(np.asarray(f.data) == check)
+
+    def test_border_3d_nooverlap(self):
+        """Every frame cell exactly once under nooverlap (reference:
+        test_border_3d:939 subset)."""
+        from devito_tpu import Border, Function
+        shape = (6, 7, 8)
+        grid = Grid(shape=shape)
+        border = Border(grid, 1)
+        f = Function(name='f', grid=grid, dtype=np.int32)
+        Operator(Eq(f, f + 1, subdomain=border)).apply()
+        d = np.asarray(f.data)
+        check = np.ones(shape)
+        check[1:-1, 1:-1, 1:-1] = 0
+        assert np.all(d == check)
