@@ -82,3 +82,36 @@ def test_reshard_shape_mismatch_raises():
     g = Function(name='fmm2', grid=_grid((8, 10)))
     with pytest.raises(ValueError):
         redistribute(f, g)
+
+
+@pytest.mark.parametrize('src_topo,dst_topo', [
+    ((2, 2, 1), (4, 1, 1)),
+    ((1, 2, 2), (2, 2, 1)),
+])
+def test_reshard_3d_topologies(src_topo, dst_topo):
+    """3-D grids reshard across different mesh factorizations."""
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    ref = np.random.RandomState(2).randn(8, 12, 16).astype(np.float32)
+    gs = _grid((8, 12, 16), src_topo, 4)
+    gd = _grid((8, 12, 16), dst_topo, 4)
+    f = Function(name='f3s', grid=gs, space_order=2)
+    g = Function(name='f3d', grid=gd, space_order=2)
+    f.data[:] = ref
+    redistribute(f, g)
+    assert np.allclose(np.asarray(g.data), ref)
+
+
+def test_reshard_timefunction_save_axis():
+    """Save-mode TimeFunctions (full history) reshard with the time
+    axis replicated."""
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    ref = np.random.RandomState(3).randn(5, 16, 16).astype(np.float32)
+    gs = _grid((16, 16), (2, 2), 4)
+    gd = _grid((16, 16), (1, 4), 4)
+    u = TimeFunction(name='usv', grid=gs, save=5, space_order=2)
+    v = TimeFunction(name='usvd', grid=gd, save=5, space_order=2)
+    u.data[:] = ref
+    redistribute(u, v)
+    assert np.allclose(np.asarray(v.data), ref)

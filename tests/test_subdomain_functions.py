@@ -324,3 +324,33 @@ class TestRelationals:
         Operator(Eq(f, f + 10, implicit_dims=ci)).apply()
         d = np.asarray(f.data)
         assert np.all(d[:5] == 10) and np.all(d[5:] == 0)
+
+
+class TestTensorOnSubDomain:
+    """Vector/Tensor functions defined on SubDomains (reference:
+    test_function_data_shape functype='v'/'t' arms:1166)."""
+
+    @pytest.mark.parametrize('x', [('left', 3), ('middle', 2, 3), None])
+    def test_vector_component_shape(self, x):
+        grid = Grid(shape=(11, 11), extent=(10., 10.))
+        rd = _reduced(x, ('right', 7), grid)
+        v = VectorFunction(name='v', grid=rd, space_order=2)
+        for c in v.values():
+            assert c.shape == rd.shape
+            assert c.origin_offset == tuple(b[0] for b in rd.bounds())
+
+    def test_tensor_component_shape(self):
+        grid = Grid(shape=(11, 11), extent=(10., 10.))
+        rd = _reduced(('middle', 2, 3), ('left', 4), grid)
+        t = TensorFunction(name='tt', grid=rd, space_order=2)
+        comp = t[0, 0]
+        assert comp.shape == rd.shape
+
+    def test_vector_on_subdomain_executes(self):
+        grid = Grid(shape=(10, 10), extent=(9., 9.))
+        rd = _reduced(('middle', 1, 1), ('middle', 1, 1), grid)
+        v = VectorFunction(name='vx', grid=rd, space_order=2)
+        eqs = [Eq(c, c + i + 1) for i, c in enumerate(v.values())]
+        Operator(eqs).apply()
+        for i, c in enumerate(v.values()):
+            assert np.all(np.asarray(c.data) == i + 1)
