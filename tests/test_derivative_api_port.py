@@ -173,3 +173,61 @@ class TestExecutionEquivalence:
         Operator(Eq(o, u.dxl), subs=grid.spacing_map).apply()
         # d/dx of x = 1 away from boundaries
         assert np.allclose(np.asarray(o.data)[2:-2], 1.0, atol=1e-5)
+
+
+class TestPolynomialExactness:
+    """FD schemes are exact on polynomials of their order (reference:
+    test_fd_space:234, test_fd_space_staggered:325)."""
+
+    @pytest.mark.parametrize('derivative', ['dx', 'dx2'])
+    @pytest.mark.parametrize('space_order', [2, 4, 6, 8, 12])
+    def test_fd_space(self, derivative, space_order):
+        nx = 100
+        xx = np.linspace(-1, 1, nx)
+        dx = xx[1] - xx[0]
+        grid = Grid(shape=(nx,), dtype=np.float64)
+        x = grid.dimensions[0]
+        u = Function(name='u', grid=grid, space_order=space_order)
+        du = Function(name='du', grid=grid, space_order=space_order)
+        poly = sum(sympy.Symbol('xs') ** i for i in range(space_order))
+        xs = sympy.Symbol('xs')
+        u.data[:] = [float(poly.subs(xs, xi)) for xi in xx]
+        dpoly = sympy.diff(poly, xs, 2 if derivative == 'dx2' else 1)
+        want = np.array([float(dpoly.subs(xs, xi)) for xi in xx])
+        Operator(Eq(du, getattr(u, derivative)),
+                 subs={x.spacing: dx}).apply()
+        b = space_order
+        err = np.abs(np.asarray(du.data)[b:-b] - want[b:-b])
+        assert np.isclose(err.mean(), 0., atol=1e-3)
+
+    @pytest.mark.parametrize('space_order', [2, 4, 8, 12])
+    @pytest.mark.parametrize('stagger', ['node_to_half', 'half_to_node'])
+    def test_fd_space_staggered(self, space_order, stagger):
+        """Staggered first derivative lands exactly between lattices
+        (reference: test_fd_space_staggered:325)."""
+        nx = 101
+        xx = np.linspace(-1, 1, nx)
+        dx = xx[1] - xx[0]
+        grid = Grid(shape=(nx,), dtype=np.float64)
+        x = grid.dimensions[0]
+        xs = sympy.Symbol('xs')
+        poly = sum(xs ** i for i in range(space_order - 1))
+        dpoly = sympy.diff(poly, xs)
+        if stagger == 'node_to_half':
+            u = Function(name='u', grid=grid, space_order=space_order)
+            du = Function(name='du', grid=grid, space_order=space_order,
+                          staggered=(x,))
+            xx_u = xx
+            xx_du = xx + .5 * dx
+        else:
+            u = Function(name='u', grid=grid, space_order=space_order,
+                         staggered=(x,))
+            du = Function(name='du', grid=grid, space_order=space_order)
+            xx_u = xx + .5 * dx
+            xx_du = xx
+        u.data[:] = [float(poly.subs(xs, xi)) for xi in xx_u]
+        want = np.array([float(dpoly.subs(xs, xi)) for xi in xx_du])
+        Operator(Eq(du, u.dx), subs={x.spacing: dx}).apply()
+        b = space_order
+        err = np.abs(np.asarray(du.data)[b:-b] - want[b:-b])
+        assert np.isclose(err.mean(), 0., atol=1e-3)
