@@ -65,3 +65,27 @@ def test_apply_log_reports_roofline(caplog):
     assert summary.platform.name in ([p.name for p in
                                       platform_registry.values()]
                                      + [CPU_GENERIC.name])
+
+
+def test_roofline_known_generations():
+    """Every registered TPU generation yields a finite roofline."""
+    from devito_tpu.arch import roofline_gpts
+    for kind in ('TPU v5 lite', 'TPU v5p', 'TPU v4', 'TPU v6 lite'):
+        r = roofline_gpts(kind, 20)
+        assert r is None or r > 0
+
+
+def test_roofline_unknown_kind_safe():
+    from devito_tpu.arch import roofline_gpts
+    r = roofline_gpts('totally unknown accelerator', 20)
+    assert r is None or r > 0
+
+
+def test_roofline_scales_with_bytes():
+    """Half the bytes per point -> double the GPts/s roofline."""
+    from devito_tpu.arch import roofline_gpts
+    a = roofline_gpts('TPU v5 lite', 10)
+    b = roofline_gpts('TPU v5 lite', 20)
+    if a is not None and b is not None:
+        import pytest
+        assert a == pytest.approx(2 * b, rel=1e-6)

@@ -216,3 +216,28 @@ def test_forced_chunking_with_subdomain_bc(monkeypatch):
     _forced(monkeypatch)
     out = run()
     assert np.array_equal(out, ref)
+
+
+def test_chunk_trigger_is_max_row_not_sum(monkeypatch):
+    """The trigger compares the LARGEST single materialized row's
+    storage bytes, not the sum over operands: a multi-operand eq whose
+    rows all pin individually stays monolithic (the r3-final summed
+    trigger chunked TTI at 192^3 and the window converts dominated —
+    PERF_NOTES r4)."""
+    from devito_tpu.compiler.executor import _x_chunk_plan
+    # per-fn storage ~1.5 MB (lane-padded); 3 operands sum ~4.5 MB
+    monkeypatch.setenv('DTPU_XCHUNK_TRIGGER_MB', '2.0')
+    monkeypatch.setenv('DTPU_XCHUNK_TARGET_MB', '0.3')
+    grid = Grid(shape=(48, 44, 40))
+    u = TimeFunction(name='u', grid=grid, time_order=2, space_order=4)
+    v = TimeFunction(name='v', grid=grid, time_order=2, space_order=4)
+    w = TimeFunction(name='w', grid=grid, time_order=2, space_order=4)
+    op = Operator([Eq(u.forward, u.laplace + v.dx2 + w.dy2)],
+                  subs=grid.spacing_map)
+    for eq in op._schedule.body:
+        if getattr(eq, 'is_dense', True) and hasattr(eq, 'rhs'):
+            region = {d.name: (0, n) for d, n in
+                      zip(u.space_dimensions, (48, 44, 40))}
+            # max single row ~1.5 MB < 2 MB trigger: monolithic even
+            # though the SUM of the three operands exceeds it
+            assert _x_chunk_plan(eq, region, 0, None, None) is None
