@@ -93,7 +93,11 @@ def parse_trace_period(trace_dir, nsteps):
         # — infer k and scale the average firing gap back to a step
         # period (span-based: robust to uneven intra-step spacing)
         k = max(1, round(m / nsteps))
-        if not (0.7 * k * nsteps <= m <= 1.3 * k * nsteps + 2):
+        # k=1 keeps a wide band (truncated traces); k>=2 must sit within
+        # 10% of an exact multiple or the bands overlap (48 firings at
+        # nsteps=32 is 1.5x — neither k=1 nor k=2, excluded)
+        lo, hi = (0.7, 1.3) if k == 1 else (0.9, 1.1)
+        if not (lo * k * nsteps <= m <= hi * k * nsteps + 2):
             continue
         ts = sorted(ts)
         if m < 9:
