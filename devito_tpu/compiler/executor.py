@@ -462,6 +462,17 @@ def _align_lane_write(val, slices, strip, buf_shape, row_idx, jnp):
     return val, tuple(slices)
 
 
+
+def _chunk_shifts(eq, x0, xlen):
+    """(left, right) overhang of a halo-extended write region beyond the
+    target's domain along the chunk axis. The window-slab margins shrink
+    by these so slabs never index outside the allocated buffers; tap
+    offsets must then fit the narrowed margins (plan check)."""
+    fn = eq.target
+    n = (fn.shape[1:] if fn.is_TimeFunction else fn.shape)[0]
+    return max(0, -x0), max(0, x0 + xlen - n)
+
+
 def _x_chunk_plan(eq, region, t, strips, shard_spec):
     """Decide x-chunked execution of a stepping stencil write.
 
@@ -486,8 +497,10 @@ def _x_chunk_plan(eq, region, t, strips, shard_spec):
     """
     import os
     if (t is None or shard_spec or eq.reduction
-            or eq.time_kind != 'stepping' or not region):
+            or eq.time_kind not in ('stepping', None) or not region):
         return None
+    if eq.time_kind is None and not eq.time_dep:
+        return None  # prologue/epilogue one-shots: not the hot loop
     if strips and strips.get(id(eq)) is not None:
         return None
     from ..ir.lowering import (time_access_of, space_index_specs,
@@ -497,6 +510,11 @@ def _x_chunk_plan(eq, region, t, strips, shard_spec):
     d0 = eq.target.space_dimensions[0]
     if getattr(d0, 'is_Conditional', False) or d0.name != xd:
         return None
+    # halo-extended write regions (CIRE temps computed into their halo,
+    # ir/lowering.py _halo_write) start/stop outside the domain: the
+    # slab margins shrink by the overhang on each side so the window
+    # stays inside the allocated buffer (see _chunk_shifts)
+    s_l, s_r = _chunk_shifts(eq, x0, xlen)
     if any(getattr(eq.target, 'origin_offset', ()) or ()):
         return None  # SubDomain-defined target: local-buffer offsets
     tname = eq.target.function.name
@@ -542,8 +560,8 @@ def _x_chunk_plan(eq, region, t, strips, shard_spec):
             if sp0[0] != 'rel' or sp0[1] != xd:
                 return None  # abs/transposed leading index
             hl, hr = fn.dev_halo[0]
-            if sp0[2] < -hl or sp0[2] > hr:
-                return None  # tap outside the halo'd window
+            if sp0[2] < -(hl - s_l) or sp0[2] > hr - s_r:
+                return None  # tap outside the (shift-narrowed) window
             tkk, toff = time_access_of(a)
             key = (fn.name, tkk, str(toff))
             ent = rows.setdefault(key, [fn, set()])
@@ -619,7 +637,7 @@ def _x_chunk_plan(eq, region, t, strips, shard_spec):
     return xd, x0, chunks, mat, rolled
 
 
-def _zero_align_chunk_write(val, slices, buf_shape, eq, fn, jnp):
+def _zero_align_chunk_write(val, slices, buf_shape, eq, fn, jnp, lead=1):
     """Sublane/lane-align a chunk DUS by extending the written slab with
     zeros over the pristine-zero halo.
 
@@ -649,7 +667,7 @@ def _zero_align_chunk_write(val, slices, buf_shape, eq, fn, jnp):
             # an aligned start keeps SO=8-style writes on their exact
             # monolithic-identical path (no reshaping pad at all)
             continue
-        ext = buf_shape[ax + 1]  # +1: lead time axis (stepping target)
+        ext = buf_shape[ax + lead]  # lead: time axis (0 for timeless)
         ne = min(-(-e // q) * q, ext)
         pads[ax] = (s - ns, ne - e)
         slices[ax] = slice(ns, ne)
@@ -679,11 +697,15 @@ def _exec_chunks_rolled(eq, bufs, params, t, direction, plan, region):
     maxa = xlen - clen
     fullsl = _write_region_slices(eq)
     buf = bufs[name]
-    row_idx = step_row(t, eq.time_off, fn._time_size)
+    timeless = eq.time_kind is None
+    row_idx = None if timeless else step_row(t, eq.time_off,
+                                             fn._time_size)
+    shifts = _chunk_shifts(eq, px0, xlen)
     mat_names = sorted({k[0] for k in mat} - {name})
     sl_tail = fullsl[1:]
     tail_sizes = tuple(s.stop - s.start for s in sl_tail)
     stride = _stride_map(eq)
+    lead = () if timeless else (row_idx,)
 
     def body(i, acc):
         a = jnp.minimum(i * clen, maxa).astype(jnp.int32)
@@ -699,24 +721,27 @@ def _exec_chunks_rolled(eq, bufs, params, t, direction, plan, region):
         region_i[xd] = (px0 + a, clen)
         ctx_i = DenseCtx(bufs_i, params, region_i, t=t, direction=direction,
                          stride_map=stride,
-                         window=(xd, px0 + a, clen, mat))
+                         window=(xd, px0 + a, clen, mat) + shifts)
         val_i = translate(eq.rhs, ctx_i)
         x0buf = jnp_int32(fullsl[0].start) + a
 
         def _cur():
-            starts = (row_idx, x0buf) + tuple(
+            starts = lead + (x0buf,) + tuple(
                 jnp_int32(s.start) for s in sl_tail)
-            return jax.lax.dynamic_slice(acc, starts,
-                                         (1, clen) + tail_sizes)[0]
+            out = jax.lax.dynamic_slice(
+                acc, starts, (1,) * len(lead) + (clen,) + tail_sizes)
+            return out[0] if lead else out
 
         val_i = _finalize_val(eq, val_i, _cur, ctx_i, (clen,) + tail_sizes,
                               buf.dtype, jnp)
         sl_align = (slice(0, clen),) + sl_tail
         val_i, sl_align = _zero_align_chunk_write(val_i, sl_align,
-                                                  buf.shape, eq, fn, jnp)
-        starts = (row_idx, x0buf) + tuple(
+                                                  buf.shape, eq, fn, jnp,
+                                                  lead=len(lead))
+        starts = lead + (x0buf,) + tuple(
             jnp_int32(s.start) for s in sl_align[1:])
-        return jax.lax.dynamic_update_slice(acc, val_i[None], starts)
+        upd = val_i[None] if lead else val_i
+        return jax.lax.dynamic_update_slice(acc, upd, starts)
 
     acc = jax.lax.fori_loop(0, len(chunks), body, buf)
     out = dict(bufs)
@@ -782,8 +807,12 @@ def _exec_dense(eq, bufs, params, t, direction, strips=None,
             xd, px0, chunks, mat, _ = plan
             fullsl = _write_region_slices(eq)
             buf = bufs[name]
-            m = fn._time_size
-            row_idx = step_row(t, eq.time_off, m)
+            timeless = eq.time_kind is None
+            row_idx = None if timeless else step_row(t, eq.time_off,
+                                                     fn._time_size)
+            shifts = _chunk_shifts(eq, px0,
+                                   chunks[-1][0] + chunks[-1][1])
+            lead = () if timeless else (jnp_int32(row_idx),)
             acc = buf
             mat_names = sorted({k[0] for k in mat} - {name})
             for a, clen in chunks:
@@ -813,7 +842,7 @@ def _exec_dense(eq, bufs, params, t, direction, strips=None,
                 ctx_i = DenseCtx(bufs_i, params, region_i, t=t,
                                  direction=direction,
                                  stride_map=_stride_map(eq),
-                                 window=(xd, px0 + a, clen, mat))
+                                 window=(xd, px0 + a, clen, mat) + shifts)
                 val_i = translate(eq.rhs, ctx_i)
                 sl_i = (slice(fullsl[0].start + a,
                               fullsl[0].start + a + clen),) + fullsl[1:]
@@ -825,17 +854,19 @@ def _exec_dense(eq, bufs, params, t, direction, strips=None,
                     # so the pre-write values are intact; reading the
                     # original would re-pin its liveness and force the
                     # per-chunk copies back)
-                    starts = (jnp_int32(row_idx),) + tuple(
-                        jnp_int32(s.start) for s in sl)
-                    sizes = (1,) + tuple(s.stop - s.start for s in sl)
-                    return jax.lax.dynamic_slice(src, starts, sizes)[0]
+                    starts = lead + tuple(jnp_int32(s.start) for s in sl)
+                    sizes = (1,) * len(lead) + tuple(
+                        s.stop - s.start for s in sl)
+                    out = jax.lax.dynamic_slice(src, starts, sizes)
+                    return out[0] if lead else out
 
                 val_i = _finalize_val(eq, val_i, _cur, ctx_i, shape_i,
                                       buf.dtype, jnp)
                 val_i, sl_i = _zero_align_chunk_write(
-                    val_i, sl_i, buf.shape, eq, fn, jnp)
-                starts = (row_idx,) + tuple(np.int32(s.start) for s in sl_i)
-                acc = jax.lax.dynamic_update_slice(acc, val_i[None], starts)
+                    val_i, sl_i, buf.shape, eq, fn, jnp, lead=len(lead))
+                sts = lead + tuple(np.int32(s.start) for s in sl_i)
+                upd = val_i[None] if lead else val_i
+                acc = jax.lax.dynamic_update_slice(acc, upd, sts)
             out = dict(bufs)
             out[name] = acc
             return out

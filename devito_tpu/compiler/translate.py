@@ -285,7 +285,7 @@ class DenseCtx(BaseCtx):
             return iota
         return super().symbol(sym)
 
-    def _windowed_row(self, fn, e, dom_start, dom_len, mat):
+    def _windowed_row(self, fn, e, dom_start, dom_len, mat, shifts=(0, 0)):
         """Windowed (x-chunked) time-resolved row: a
         [dom_start, dom_start+dom_len+hl+hr) slab in buffer coords of
         the leading space axis (buffer index = halo_left + domain index,
@@ -299,13 +299,17 @@ class DenseCtx(BaseCtx):
         if hit is not None:
             return hit
         hl, hr = fn.dev_halo[0]
+        # halo-extended chunk regions (CIRE temps) shrink the slab
+        # margins by the domain overhang so the window never indexes
+        # outside the allocated buffer (executor._chunk_shifts)
+        s_l, s_r = shifts
         # one dynamic_slice straight off the (time-stacked) buffer: a
         # shared full-row extraction would get CSE'd by XLA into a whole
         # HBM row materialization (measured 1.2 ms/step fixed cost at
         # 384^3 — the row is bigger than any chunk)
         win = _windowed_slab(self.buffers, fn, tk, toff, self.t,
-                             self.params, dom_start,
-                             dom_len + hl + hr)
+                             self.params, dom_start + s_l,
+                             dom_len + (hl - s_l) + (hr - s_r))
         win = _upcast(win, fn)
         if key in mat:
             (win,) = jax.lax.optimization_barrier((win,))
@@ -318,11 +322,12 @@ class DenseCtx(BaseCtx):
         arr = None
         windowed = False
         if self.window is not None and not fn.is_SparseFunction:
-            wdn, wstart, wlen, mat = self.window
+            wdn, wstart, wlen, mat = self.window[:4]
+            sh = self.window[4:] or (0, 0)
             sd = fn.space_dimensions
             if (specs and sd and sd[0].name == wdn
                     and specs[0][0] == 'rel' and specs[0][1] == wdn):
-                arr = self._windowed_row(fn, e, wstart, wlen, mat)
+                arr = self._windowed_row(fn, e, wstart, wlen, mat, sh)
                 windowed = True
         if arr is None:
             arr = self._time_resolved(fn, e)
@@ -369,10 +374,13 @@ class DenseCtx(BaseCtx):
             if windowed and ax == 0:
                 # the slab already starts at the chunk-region start
                 # (which is TRACED under the rolled chunk loop): the
-                # slab-local slice offset is static — hl + tap offset
+                # slab-local slice offset is static — margin + tap
+                # offset, where margin = hl shrunk by the halo-extended
+                # region's left overhang
                 _, dn, off = sp
                 _, length = self.region[dn]
-                slices.append(slice(hl + off, hl + off + length))
+                m_l = hl - sh[0]
+                slices.append(slice(m_l + off, m_l + off + length))
                 idx_dims.append(dn)
                 continue
             if sp[0] == 'abs':

@@ -241,3 +241,50 @@ def test_chunk_trigger_is_max_row_not_sum(monkeypatch):
             # max single row ~1.5 MB < 2 MB trigger: monolithic even
             # though the SUM of the three operands exceeds it
             assert _x_chunk_plan(eq, region, 0, None, None) is None
+
+
+def test_timeless_cire_temp_chunking(monkeypatch):
+    """TIMELESS body equations (CIRE derivative temps) chunk too — at
+    canonical-TTI sizes their monolithic staging is the VMEM cliff
+    (512x402x222 measured 172 ms/step with temps excluded). The write
+    region is halo-extended, exercising the shift-narrowed slab margins
+    (_chunk_shifts). Chunked results match monolithic to fp32
+    reassociation level (the formulations fuse differently)."""
+    def run():
+        grid = Grid(shape=(60, 44, 40), extent=(59., 43., 39.))
+        u = TimeFunction(name='u', grid=grid, time_order=2, space_order=8)
+        vp = Function(name='vp', grid=grid, space_order=8)
+        vp.data[:] = 1.5
+        init = np.random.RandomState(0).randn(
+            *u.data[0].shape).astype(np.float32) * 0.01
+        u.data[0][:] = init
+        u.data[1][:] = init
+        eq = Eq(u.forward, 2 * u - u.backward
+                + 0.001 * (vp * u.dx).dx + 0.001 * u.laplace)
+        op = Operator(eq, subs=grid.spacing_map)
+        # the CIRE temp (timeless) must be chunkable when forced
+        from devito_tpu.ir.lowering import LoweredEq
+        from devito_tpu.compiler.executor import _x_chunk_plan
+        from collections import OrderedDict
+        import os as _os
+        if _os.environ.get('DTPU_XCHUNK_FORCE_N'):
+            seen = {}
+            for it in op._schedule.body:
+                if isinstance(it, LoweredEq):
+                    region = OrderedDict(
+                        (d.name, (a, b - a)) for d, (a, b)
+                        in zip(it.target.space_dimensions, it.region))
+                    seen[it.target.name] = _x_chunk_plan(
+                        it, region, 0, None, None)
+            assert any(k.startswith('cire') and v is not None
+                       for k, v in seen.items()), seen
+        op.apply(time_m=1, time_M=12, dt=0.05)
+        return np.asarray(u.data[0])
+
+    ref = run()
+    for n in ('5', '14'):  # unrolled and rolled forms
+        monkeypatch.setenv('DTPU_XCHUNK_TRIGGER_MB', '0.0001')
+        monkeypatch.setenv('DTPU_XCHUNK_TARGET_MB', '0.0001')
+        monkeypatch.setenv('DTPU_XCHUNK_FORCE_N', n)
+        out = run()
+        assert np.allclose(out, ref, rtol=1e-5, atol=1e-7)
