@@ -571,7 +571,7 @@ def _x_chunk_plan(eq, region, t, strips, shard_spec):
                 return None
     if not rows:
         return None
-    mat, storeb, rowb, halob = set(), 0, 0, 0
+    cands, storeb = [], 0
     for key, (fn, offs) in rows.items():
         if len(offs) < 3:
             continue  # 1-2 taps: lazy slab, no materialization
@@ -589,9 +589,7 @@ def _x_chunk_plan(eq, region, t, strips, shard_spec):
         # per-chunk window converts dominated (10.6 vs ~6.5 ms/step, r4)
         itemb = np.dtype(fn.function.storage_dtype).itemsize
         storeb = max(storeb, itemb * int(np.prod(space)))
-        rowb += perrow
-        halob += (hl + hr) * perrow
-        mat.add(key)
+        cands.append((len(offs), perrow, (hl + hr) * perrow, hl + hr, key))
     trigger = int(float(os.environ.get('DTPU_XCHUNK_TRIGGER_MB', 60)) * 1e6)
     # slab-size target: 64 MB pins on-chip when the materialized
     # operands STORE narrow (the bf16 HBM streams leave VMEM headroom);
@@ -603,16 +601,35 @@ def _x_chunk_plan(eq, region, t, strips, shard_spec):
     tdefault = 52 if (mat_itemb and min(mat_itemb) >= 4) else 64
     target = int(float(os.environ.get('DTPU_XCHUNK_TARGET_MB',
                                       tdefault)) * 1e6)
-    if not mat or storeb <= trigger:
+    if not cands or storeb <= trigger:
         return None
     # bound the ACTUAL materialized slab bytes (chunk rows + halo rows,
     # summed over materialized operands) by the target, so the slabs
-    # stay VMEM-pinnable regardless of grid size
+    # stay VMEM-pinnable regardless of grid size. When the halo rows of
+    # ALL candidates jointly blow the target (multi-operand SO=12 eqs on
+    # large y*z planes: TTI canonical z-quarter floored clen at 16 with
+    # 60% of every slab re-read halo — PERF_NOTES r4), pinning
+    # EVERYTHING is self-defeating: keep only the top-K operands by tap
+    # count (materialization saves ~(ntaps-1)x traffic, so high-tap
+    # operands earn their VMEM first) such that chunks stay at least
+    # ~2 halo depths long, and let the few-tap rest stream lazily
+    cands.sort(key=lambda c: (-c[0], c[4]))
+    rowb = sum(c[1] for c in cands)
+    halob = sum(c[2] for c in cands)
     clen = (target - halob) // rowb if rowb else 0
+    while len(cands) > 1:
+        clen_min = max(16, 2 * max(c[3] for c in cands))
+        if clen >= clen_min:
+            break
+        _, pr, hb, _, _ = cands.pop()  # fewest taps streams lazily
+        rowb -= pr
+        halob -= hb
+        clen = (target - halob) // rowb
+    mat = {c[4] for c in cands}
     if clen < 16:
-        # halo rows alone blow the target (very large y*z planes):
-        # a bounded chunk count still beats the ~27x monolithic
-        # re-read traffic, even with unpinnable slabs
+        # a single operand's halo rows alone blow the target (very
+        # large y*z planes): a bounded chunk count still beats the
+        # ~27x monolithic re-read traffic, even with unpinnable slabs
         clen = 16
     clen = min(clen, xlen)
     max_unroll = int(os.environ.get('DTPU_XCHUNK_MAX_UNROLL', 12))

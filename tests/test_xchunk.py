@@ -288,3 +288,54 @@ def test_timeless_cire_temp_chunking(monkeypatch):
         monkeypatch.setenv('DTPU_XCHUNK_FORCE_N', n)
         out = run()
         assert np.allclose(out, ref, rtol=1e-5, atol=1e-7)
+
+
+def test_chunk_plan_topk_materialization(monkeypatch):
+    """Halo-dominated plans materialize only the top-K operands by tap
+    count: when every candidate's halo rows jointly blow the slab
+    target (multi-operand SO=12 eqs on large y*z planes — the canonical
+    TTI z-quarter floored clen at 16 with 60% of each slab re-read
+    halo, PERF_NOTES r4), the fewest-tap operands are dropped from the
+    pinned set so the kept slabs get chunks >= 2 halo depths long; the
+    dropped ones stream lazily (mat is a perf hint — execution
+    correctness is covered by the forced-chunking tests above)."""
+    from devito_tpu.compiler.executor import _x_chunk_plan
+    grid = Grid(shape=(96, 44, 40))
+    u = TimeFunction(name='u', grid=grid, time_order=2, space_order=8)
+    v = TimeFunction(name='v', grid=grid, time_order=2, space_order=8)
+    w = TimeFunction(name='w', grid=grid, time_order=2, space_order=8)
+    op = Operator([Eq(u.forward, u.laplace + v.dx2 + w.dy2)],
+                  subs=grid.spacing_map)
+    space = u.shape_device[-3:]
+    perrow = 4 * int(np.prod(space[1:]))  # f32 slab row bytes
+    # all three operands have >=3 taps and halo depth 16 (SO=8);
+    # clen_min = 32. Keeping all 3: clen = (T - 48P)/3P; keeping u
+    # alone: clen = (T - 16P)/P. T = 60P forces K=1 (u, 25 taps).
+    monkeypatch.setenv('DTPU_XCHUNK_TRIGGER_MB', '0.0001')
+    monkeypatch.setenv('DTPU_XCHUNK_TARGET_MB', str(60 * perrow / 1e6))
+    planned = False
+    for eq in op._schedule.body:
+        if getattr(eq, 'is_dense', True) and hasattr(eq, 'rhs') \
+                and eq.target.name == 'u':
+            region = {d.name: (0, n) for d, n in
+                      zip(u.space_dimensions, grid.shape)}
+            plan = _x_chunk_plan(eq, region, 0, None, None)
+            assert plan is not None
+            xd, x0, chunks, mat, rolled = plan
+            names = {k[0] for k in mat}
+            assert names == {'u'}, names  # most-tap operand kept
+            assert chunks[0][1] >= 32, chunks  # >= 2 halo depths
+            planned = True
+    assert planned
+    # a roomier target keeps two operands pinned before dropping w
+    monkeypatch.setenv('DTPU_XCHUNK_TARGET_MB', str(100 * perrow / 1e6))
+    for eq in op._schedule.body:
+        if getattr(eq, 'is_dense', True) and hasattr(eq, 'rhs') \
+                and eq.target.name == 'u':
+            region = {d.name: (0, n) for d, n in
+                      zip(u.space_dimensions, grid.shape)}
+            xd, x0, chunks, mat, rolled = _x_chunk_plan(
+                eq, region, 0, None, None)
+            names = {k[0] for k in mat}
+            assert 'u' in names and len(names) == 2, mat
+            assert chunks[0][1] >= 32, chunks
