@@ -617,16 +617,19 @@ def _x_chunk_plan(eq, region, t, strips, shard_spec):
     rowb = sum(c[1] for c in cands)
     halob = sum(c[2] for c in cands)
     clen = (target - halob) // rowb if rowb else 0
+    halo_dom = False
     while len(cands) > 1:
         clen_min = max(16, 2 * max(c[3] for c in cands))
         if clen >= clen_min:
             break
         _, pr, hb, _, _ = cands.pop()  # fewest taps streams lazily
+        halo_dom = True
         rowb -= pr
         halob -= hb
         clen = (target - halob) // rowb
     mat = {c[4] for c in cands}
     if clen < 16:
+        halo_dom = True
         # a single operand's halo rows alone blow the target (very
         # large y*z planes): a bounded chunk count still beats the
         # ~27x monolithic re-read traffic, even with unpinnable slabs
@@ -644,6 +647,16 @@ def _x_chunk_plan(eq, region, t, strips, shard_spec):
     clen = -(-xlen // nchunks)
     nchunks = -(-xlen // clen)
     rolled = nchunks > max_unroll
+    if halo_dom and not nonlead_x and nchunks > 1 and not force_n:
+        # halo-dominated plans (the drop loop fired, or a single
+        # operand's halo floored clen) run on huge y*z planes where the
+        # eq's full-grid aux reads (TTI model-term trig) are hundreds of
+        # MB at f32: unrolled chunk bodies let XLA CSE the per-chunk aux
+        # slices into whole-grid temps and keep several live at once
+        # (canonical z-quarter 512x402x222 SO=12 compiled to 20.25 GB —
+        # OOM on a 16 GB chip). The rolled fori_loop body computes them
+        # per chunk, bounding live temps to one chunk's worth
+        rolled = True
     if rolled:
         # equal-length chunks, last start clamped (the overlap rows
         # recompute identical values: chunks never read the write row)

@@ -325,6 +325,11 @@ def test_chunk_plan_topk_materialization(monkeypatch):
             names = {k[0] for k in mat}
             assert names == {'u'}, names  # most-tap operand kept
             assert chunks[0][1] >= 32, chunks  # >= 2 halo depths
+            # halo-dominated plans execute ROLLED regardless of chunk
+            # count: unrolled bodies let XLA CSE per-chunk aux slices
+            # into whole-grid temps (canonical TTI z-quarter compiled
+            # to 20.25 GB HBM — OOM on a 16 GB chip)
+            assert rolled, (chunks, rolled)
             planned = True
     assert planned
     # a roomier target keeps two operands pinned before dropping w
