@@ -185,7 +185,12 @@ def child_main(n, so):
     emit(event='ready', warmup_secs=round(time.perf_counter() - t0, 3),
          ndl=400)
 
-    # phase 1: device-side trace measurement (one fetch per config)
+    # phase 1: device-side trace measurement (one fetch per config).
+    # Each config's fetch can cost 100-350 s through a degraded tunnel;
+    # once the FIRST (flagship) config's fetch shows degradation, the
+    # remaining configs are skipped — banking the headline number costs
+    # exactly one fetch, so the canonical size survives a slow tunnel
+    # (round-4 failure mode: the artifact never reached 512^3)
     import shutil
     import tempfile
     ktrace = int(os.environ.get('BENCH_KTRACE', 64))
@@ -194,6 +199,11 @@ def child_main(n, so):
     if not os.environ.get('BENCH_NO_TRACE'):
         import jax.profiler
         for ci, (cname, cop) in enumerate(ops):
+            if ci > 0 and fetch_secs is not None and fetch_secs > 5.0:
+                emit(event='cfg_skipped', cfg=cname,
+                     reason=f'tunnel degraded (fetch {fetch_secs:.0f}s)',
+                     ndl=60)
+                continue
             tdir = tempfile.mkdtemp(prefix='bench_trace_')
             try:
                 if ci > 0:
@@ -408,29 +418,42 @@ def main():
     global_deadline = time.monotonic() + budget
     so = int(os.environ.get('BENCH_SO', 8))
     forced = os.environ.get('BENCH_SIZE')
-    # ascending: bank a number on the cheap grid first (a single
-    # sporadic 100-200 s tunnel stall on a big grid must not zero the
-    # round — round-1 failure mode), then spend what's left going up
-    # 384/512: the canonical large configs (reference
-    # benchmarks/user/README.md:169 — acoustic 512^3); viable since the
-    # x-chunked VMEM split (PERF_NOTES round-3) removed the >=320^3
-    # cliff. 256 banks the round-2 headline first.
+    # HEADLINE-FIRST descent (round-5 redesign): try the canonical
+    # 512^3 (reference benchmarks/user/README.md:169) immediately —
+    # banking it costs exactly one device->host fetch since the child
+    # skips the secondary config + wall-clock phases when the tunnel is
+    # degraded — then fall back to smaller grids only if it failed.
+    # Round 4's ascending ladder burned its whole budget on 128/200^3
+    # fetches through a 354 s/fetch tunnel and the official artifact
+    # recorded 28.35 GPts/s for a repo that measures 32.45 at 512^3.
     # 200 is deliberately lane-UNALIGNED (200 % 128 != 0): it guards the
-    # arbitrary-extent z-compact path (dead zero tail, _zdev_pad) with a
-    # driver-captured number — a regression of the lane-cliff fix shows
-    # up as 200^3 falling far below its aligned neighbours' rate
-    sizes = [int(forced)] if forced else [128, 200, 256, 384, 512]
+    # arbitrary-extent z-compact path (dead zero tail, _zdev_pad) — a
+    # regression of the lane-cliff fix shows up as 200^3 falling far
+    # below its aligned neighbours' rate. It runs as a bonus row after
+    # the headline is banked, budget permitting.
+    sizes = [int(forced)] if forced else [512, 384, 256, 128]
 
     best = None      # (n, rate, note, kind)
+    guard = None     # the 200^3 lane-unaligned bonus row
+    guard_tried = False
     kind = None
-    for idx, n in enumerate(sizes):
+    todo = list(sizes)
+    while todo or (best is not None and not guard_tried and not forced):
         remaining = global_deadline - time.monotonic()
         if remaining < 45:
             break
-        # per-size cap: the first (banking) size may not eat the whole
-        # budget; later sizes get whatever remains
-        if idx < len(sizes) - 1 and best is None:
-            size_budget = max(60.0, min(0.55 * remaining, remaining - 90))
+        if best is not None:
+            if not forced and not guard_tried and remaining >= 150:
+                n = 200  # bonus lane-unaligned guard row
+                guard_tried = True
+            else:
+                break
+        else:
+            n = todo.pop(0)
+        # per-size cap: the headline attempt may not eat the whole
+        # budget — keep enough for at least one fallback size
+        if best is None and todo:
+            size_budget = max(60.0, remaining - 110)
         else:
             size_budget = remaining - 10
         run = ChildRun(n, so)
@@ -448,12 +471,12 @@ def main():
             roof = roofline_gpts(run.kind or kind or 'unknown', 5 * 4)
             if rate > 1.2 * roof:
                 rate, note = run._wall_naive_or_none(rate, note, roof)
-                if rate is None:
-                    continue
-            # prefer the LARGEST grid that yielded a valid rate — 256^3
-            # is the canonical headline config (BASELINE.md); smaller
-            # grids are only the banked fallback against tunnel stalls
+        if rate is None:
+            continue
+        if best is None:
             best = (n, rate, note, run.kind or kind)
+        else:
+            guard = (n, rate)
 
     target = 0.8 * roofline_gpts(kind or 'unknown', bytes_per_point=5 * 4)
     if best is None:
@@ -471,6 +494,9 @@ def main():
         "vs_baseline": round(float(rate / target), 3),
     }
     out["note"] = f"grid {n}^3 (largest completed size), {note}"
+    if guard is not None:
+        out["note"] += (f"; lane-unaligned guard {guard[0]}^3: "
+                        f"{guard[1]:.2f} GPts/s")
     print(json.dumps(out), flush=True)
 
 

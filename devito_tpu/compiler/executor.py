@@ -473,6 +473,25 @@ def _chunk_shifts(eq, x0, xlen):
     return max(0, -x0), max(0, x0 + xlen - n)
 
 
+#: autotuner channel for the x-chunk plan knobs (operator._autotune):
+#: overrides the heuristic slab target / chunk count at trace time
+#: without touching the DTPU_XCHUNK_* env vars (the user escape hatch,
+#: which takes precedence only when the override is unset).
+_chunk_override = {}
+
+
+def set_chunk_override(target_mb=None, force_n=None):
+    """Install (or, with no arguments, clear) the x-chunk knob override
+    consulted by `_x_chunk_plan` on the next trace. Reference analog:
+    the block-shape candidates the autotuner injects at apply time
+    (devito/core/autotuning.py:284 generate_block_shapes)."""
+    _chunk_override.clear()
+    if target_mb is not None:
+        _chunk_override['target_mb'] = target_mb
+    if force_n is not None:
+        _chunk_override['force_n'] = force_n
+
+
 def _x_chunk_plan(eq, region, t, strips, shard_spec):
     """Decide x-chunked execution of a stepping stencil write.
 
@@ -589,20 +608,27 @@ def _x_chunk_plan(eq, region, t, strips, shard_spec):
         # per-chunk window converts dominated (10.6 vs ~6.5 ms/step, r4)
         itemb = np.dtype(fn.function.storage_dtype).itemsize
         storeb = max(storeb, itemb * int(np.prod(space)))
-        cands.append((len(offs), perrow, (hl + hr) * perrow, hl + hr, key))
+        cands.append((len(offs), perrow, (hl + hr) * perrow, hl + hr, key,
+                      itemb))
     trigger = int(float(os.environ.get('DTPU_XCHUNK_TRIGGER_MB', 60)) * 1e6)
+    if not cands or storeb <= trigger:
+        return None
+
     # slab-size target: 64 MB pins on-chip when the materialized
     # operands STORE narrow (the bf16 HBM streams leave VMEM headroom);
     # fp32-stored operands measured best at ~52 MB slabs (512^3 SO=8
     # fp32: 12 chunks/64 MB = 20.0 GPts/s, 16 chunks/52 MB = 24.3 —
-    # r4 chunk sweeps, PERF_NOTES)
-    mat_itemb = [np.dtype(fn.function.storage_dtype).itemsize
-                 for _, (fn, offs) in rows.items() if len(offs) >= 3]
-    tdefault = 52 if (mat_itemb and min(mat_itemb) >= 4) else 64
-    target = int(float(os.environ.get('DTPU_XCHUNK_TARGET_MB',
-                                      tdefault)) * 1e6)
-    if not cands or storeb <= trigger:
-        return None
+    # r4 chunk sweeps, PERF_NOTES). The autotuner (operator._autotune)
+    # searches this knob at apply time; its choice (or the env var)
+    # overrides the heuristic default.
+    def _slab_target(kept):
+        tdefault = 52 if min(c[5] for c in kept) >= 4 else 64
+        ov = _chunk_override.get('target_mb')
+        if ov is None:
+            ov = os.environ.get('DTPU_XCHUNK_TARGET_MB', tdefault)
+        return int(float(ov) * 1e6)
+
+    target = _slab_target(cands)
     # bound the ACTUAL materialized slab bytes (chunk rows + halo rows,
     # summed over materialized operands) by the target, so the slabs
     # stay VMEM-pinnable regardless of grid size. When the halo rows of
@@ -622,21 +648,30 @@ def _x_chunk_plan(eq, region, t, strips, shard_spec):
         clen_min = max(16, 2 * max(c[3] for c in cands))
         if clen >= clen_min:
             break
-        _, pr, hb, _, _ = cands.pop()  # fewest taps streams lazily
+        _, pr, hb, _, _, _ = cands.pop()  # fewest taps streams lazily
         halo_dom = True
         rowb -= pr
         halob -= hb
+        # the dropped operand's dtype no longer sizes any slab: re-derive
+        # the target from the KEPT mix (an fp32 drop must not keep the
+        # tighter 52 MB target motivated by fp32 slabs — advisor r4)
+        target = _slab_target(cands)
         clen = (target - halob) // rowb
     mat = {c[4] for c in cands}
+    # halo-dominated also when chunks end up shorter than ~2 halo depths
+    # of any KEPT operand: covers the single-candidate plan that meets
+    # the criterion without the drop loop ever running (advisor r4) and
+    # the clen<16 floor below
+    halo_dom = halo_dom or clen < max(16, 2 * max(c[3] for c in cands))
     if clen < 16:
-        halo_dom = True
         # a single operand's halo rows alone blow the target (very
         # large y*z planes): a bounded chunk count still beats the
         # ~27x monolithic re-read traffic, even with unpinnable slabs
         clen = 16
     clen = min(clen, xlen)
     max_unroll = int(os.environ.get('DTPU_XCHUNK_MAX_UNROLL', 12))
-    force_n = os.environ.get('DTPU_XCHUNK_FORCE_N')
+    force_n = (_chunk_override.get('force_n')
+               or os.environ.get('DTPU_XCHUNK_FORCE_N'))
     nchunks = -(-xlen // clen)
     if force_n:
         nchunks = max(1, min(int(force_n), xlen))

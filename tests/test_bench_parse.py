@@ -100,3 +100,73 @@ def test_parse_skips_wrong_count_names(tmp_path):
                     'ts': 10.0 + i * 777.0, 'dur': 5.0})
     p = parse_trace_period(_write_trace(tmp_path, evs), nsteps)
     assert p == pytest.approx(200e-6, rel=1e-6)
+
+
+# ----------------------------------------------------------- size ladder
+
+def _fake_ladder(monkeypatch, results):
+    """Install a ChildRun stub returning canned rates; returns the list
+    of attempted sizes."""
+    import bench
+    calls = []
+
+    class FakeRun:
+        def __init__(self, n, so):
+            self.n = n
+            self.kind = 'TPU v5 lite'
+            calls.append(n)
+
+        def run(self, **kw):
+            pass
+
+        def rate(self):
+            r = results.get(self.n)
+            return (None, 'no chunks completed') if r is None else r
+
+        def _wall_naive_or_none(self, rate, note, roof):
+            return None, note
+
+    monkeypatch.setattr(bench, 'ChildRun', FakeRun)
+    monkeypatch.delenv('BENCH_SIZE', raising=False)
+    monkeypatch.setenv('BENCH_TIMEOUT', '460')
+    return calls
+
+
+def test_ladder_headline_first(monkeypatch, capsys):
+    """The canonical 512^3 is attempted FIRST (round-4 failure mode:
+    the ascending ladder burned its budget on small grids through a
+    degraded tunnel and the artifact never reached the headline size);
+    the lane-unaligned 200^3 guard runs as a bonus row after."""
+    import bench
+    calls = _fake_ladder(monkeypatch, {512: (32.4, 'trace'),
+                                       200: (29.0, 'trace')})
+    bench.main()
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert calls[0] == 512
+    assert calls == [512, 200]          # no other size wasted budget
+    assert '512^3' in out['note']
+    assert out['value'] == 32.4
+    assert 'guard 200^3: 29.00' in out['note']
+
+
+def test_ladder_falls_back_downward(monkeypatch, capsys):
+    """If the headline size fails (wedged child), the ladder descends
+    and reports the largest size that completed."""
+    import bench
+    calls = _fake_ladder(monkeypatch, {512: None, 384: None,
+                                       256: (31.0, 'trace'),
+                                       200: (29.0, 'trace')})
+    bench.main()
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert calls[:3] == [512, 384, 256]
+    assert '256^3' in out['note']
+    assert out['value'] == 31.0
+
+
+def test_ladder_all_fail(monkeypatch, capsys):
+    import bench
+    calls = _fake_ladder(monkeypatch, {})
+    bench.main()
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out['value'] == 0.0 and out['vs_baseline'] == 0.0
+    assert calls == [512, 384, 256, 128]

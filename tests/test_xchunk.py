@@ -344,3 +344,103 @@ def test_chunk_plan_topk_materialization(monkeypatch):
             names = {k[0] for k in mat}
             assert 'u' in names and len(names) == 2, mat
             assert chunks[0][1] >= 32, chunks
+
+
+def _stencil_eq(op, name='u'):
+    for eq in op._schedule.body:
+        if getattr(eq, 'is_dense', True) and hasattr(eq, 'rhs') \
+                and eq.target.name == name:
+            return eq
+    raise AssertionError(f'no dense stencil eq writing {name}')
+
+
+def test_chunk_plan_single_candidate_halo_dominated(monkeypatch):
+    """A plan with ONE >=3-tap operand whose chunks land shorter than 2
+    halo depths is halo-dominated even though the drop loop never runs
+    (advisor r4): it must execute rolled, guarding the unrolled-CSE
+    whole-grid-temp OOM path."""
+    from devito_tpu.compiler.executor import _x_chunk_plan
+    grid = Grid(shape=(96, 44, 40))
+    u = TimeFunction(name='u', grid=grid, time_order=2, space_order=8)
+    op = Operator([Eq(u.forward, u.laplace)], subs=grid.spacing_map)
+    eq = _stencil_eq(op)
+    hl, hr = u.dev_halo[0]
+    perrow = 4 * int(np.prod(u.shape_device[-2:]))
+    # clen = (T - (hl+hr)P)/P in [16, 2(hl+hr)) -> halo-dominated
+    monkeypatch.setenv('DTPU_XCHUNK_TRIGGER_MB', '0.0001')
+    monkeypatch.setenv('DTPU_XCHUNK_TARGET_MB',
+                       str((hl + hr + 24) * perrow / 1e6))
+    region = {d.name: (0, n) for d, n in
+              zip(u.space_dimensions, grid.shape)}
+    plan = _x_chunk_plan(eq, region, 0, None, None)
+    assert plan is not None
+    xd, x0, chunks, mat, rolled = plan
+    assert 16 <= chunks[0][1] < 2 * (hl + hr), chunks
+    assert len(chunks) > 1
+    assert rolled, (chunks, rolled)
+
+
+def test_chunk_slab_target_recomputed_after_drop(monkeypatch):
+    """The heuristic slab target (52 MB all-fp32 / 64 MB otherwise) is
+    re-derived from the KEPT candidates after the drop loop (advisor
+    r4): dropping the only bf16 operand must tighten the target to the
+    fp32 52 MB, not keep the pre-drop 64 MB."""
+    from devito_tpu.compiler.executor import _x_chunk_plan
+    # metadata-only: no .data touched, buffers stay unallocated
+    grid = Grid(shape=(128, 448, 448))
+    u = TimeFunction(name='u', grid=grid, time_order=2, space_order=8)
+    v = TimeFunction(name='v', grid=grid, time_order=2, space_order=8)
+    v.set_storage_dtype('bfloat16')
+    try:
+        op = Operator([Eq(u.forward, u.laplace + v.dx2)],
+                      subs=grid.spacing_map)
+        eq = _stencil_eq(op)
+        region = {d.name: (0, n) for d, n in
+                  zip(u.space_dimensions, grid.shape)}
+        # no DTPU_XCHUNK_TARGET_MB: the heuristic default applies.
+        # Both operands kept would give clen < 32 (drop fires, v has
+        # fewer taps); kept = {u: fp32} -> target 52 MB
+        plan = _x_chunk_plan(eq, region, 0, None, None)
+        assert plan is not None
+        xd, x0, chunks, mat, rolled = plan
+        assert {k[0] for k in mat} == {'u'}, mat
+        hl, hr = u.dev_halo[0]
+        perrow = 4 * int(np.prod(u.shape_device[-2:]))
+
+        def nchunks_for(target_mb):
+            clen = (int(target_mb * 1e6) - (hl + hr) * perrow) // perrow
+            return -(-128 // min(clen, 128))
+
+        # the 52 and 64 MB targets must disagree here, else the test
+        # can't tell which one the plan used
+        assert nchunks_for(52) != nchunks_for(64)
+        assert len(chunks) == nchunks_for(52), (chunks, nchunks_for(52))
+    finally:
+        v.set_storage_dtype(np.float32)
+
+
+def test_chunk_override_channel(monkeypatch):
+    """set_chunk_override (the autotuner's knob channel) overrides the
+    slab target and chunk count without env vars, and clears cleanly."""
+    from devito_tpu.compiler.executor import (_x_chunk_plan,
+                                              set_chunk_override)
+    grid = Grid(shape=(96, 44, 40))
+    u = TimeFunction(name='u', grid=grid, time_order=2, space_order=8)
+    op = Operator([Eq(u.forward, u.laplace)], subs=grid.spacing_map)
+    eq = _stencil_eq(op)
+    region = {d.name: (0, n) for d, n in
+              zip(u.space_dimensions, grid.shape)}
+    monkeypatch.setenv('DTPU_XCHUNK_TRIGGER_MB', '0.0001')
+    try:
+        set_chunk_override(target_mb=1.5)
+        p1 = _x_chunk_plan(eq, region, 0, None, None)
+        assert p1 is not None
+        set_chunk_override(force_n=5)
+        p2 = _x_chunk_plan(eq, region, 0, None, None)
+        assert p2 is not None and len(p2[2]) == 5, p2[2]
+        set_chunk_override()
+        # cleared: default 52/64 MB target swallows the toy grid whole
+        p3 = _x_chunk_plan(eq, region, 0, None, None)
+        assert p3 is None or len(p3[2]) == 1, p3
+    finally:
+        set_chunk_override()
