@@ -116,6 +116,16 @@ class Derivative(Differentiable, sympy.Expr):
 
     # -- sympy plumbing ---------------------------------------------------
 
+    def __getnewargs_ex__(self):
+        # sympy's Basic pickling reconstructs via ``cls(*args)`` with
+        # args = (expr,) only, silently dropping dims/order/side/x0 —
+        # a pickled Eq would then evaluate with its derivatives elided
+        # (caught by tests/test_pickle_matrix.py test_derivative)
+        return ((self._expr_arg,) + tuple(self._dims),
+                {'fd_order': self._fd_order, 'side': self._side,
+                 'x0': self._x0, 'transpose': self._transpose,
+                 'weights': self._weights, 'method': self._method})
+
     @property
     def func(self):
         def _rebuild(*args):

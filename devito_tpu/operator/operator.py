@@ -587,6 +587,21 @@ class Operator:
         """Assemble runtime arguments (dry-run of apply's preparation)."""
         return self._prepare(kwargs)[0:3]
 
+    def _known_arguments(self):
+        """Names ``apply`` accepts as overrides: functions, constants and
+        dimension bounds (reference: operator.py _known_arguments:780)."""
+        known = set()
+        for fn in self._reads.values():
+            known.add(fn.name)
+            for d in fn.dimensions:
+                known.update((d.name, f'{d.name}_m', f'{d.name}_M'))
+                if d.is_Stepping or d.is_Conditional:
+                    r = d.parent
+                    known.update((r.name, f'{r.name}_m', f'{r.name}_M'))
+        known.update(getattr(self, '_symbols', {}) or {})
+        known.update(('dt', 'time', 'time_m', 'time_M', 'autotune'))
+        return known
+
     def _prepare(self, kwargs, shard=True, zcompact=True, stream=None):
         # function overrides by name
         overrides = {}

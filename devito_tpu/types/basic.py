@@ -274,6 +274,12 @@ class AbstractFunction(Differentiable, sympy.Function):
                 np.copyto(cls._host_buf, buf)
                 cls._coh = 'host'
                 cls._dev_buf = None
+                # the pickled payload is real data: without this, the
+                # fresh-allocation zero-upload fast path would ignore the
+                # restored host buffer until a `.data` access (caught by
+                # test_pickle_matrix.py test_full_model: critical_dt=inf
+                # because mmax(vp) read device zeros)
+                cls._pristine_zero = False
         hs = state.get('halo_state')
         if hs is not None:
             cls._halo_state = hs

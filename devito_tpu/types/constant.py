@@ -21,12 +21,21 @@ class Constant(Differentiable, sympy.Symbol):
     is_DiscreteFunction = False
 
     __xnew_cached_ = staticmethod(cacheit(
-        lambda cls, name: sympy.Symbol.__xnew__(cls, name, real=True)))
+        lambda cls, name, **assum: sympy.Symbol.__xnew__(cls, name,
+                                                         **assum)))
 
     def __new__(cls, name=None, value=0, dtype=np.float32, **kwargs):
-        obj = cls.__xnew_cached_(cls, name)
+        # assumptions follow the dtype, as in the reference
+        # (tests/test_symbolics.py test_real:122): a complex-dtype
+        # Constant must not carry real=True or sympy may simplify
+        # conj/im away
+        dt = np.dtype(dtype)
+        if np.issubdtype(dt, np.complexfloating):
+            obj = cls.__xnew_cached_(cls, name, imaginary=True)
+        else:
+            obj = cls.__xnew_cached_(cls, name, real=True)
         obj._value = value
-        obj._dtype = np.dtype(dtype)
+        obj._dtype = dt
         return obj
 
     def __getnewargs_ex__(self):

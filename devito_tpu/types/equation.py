@@ -36,6 +36,16 @@ class Eq(sympy.Eq):
         obj._implicit_dims = implicit_dims
         return obj
 
+    def __getnewargs_ex__(self):
+        # sympy reconstructs via ``cls(lhs, rhs)`` on unpickle, dropping
+        # the subdomain/coefficients/implicit_dims metadata set in
+        # ``__new__`` (tests/test_pickle_matrix.py test_eq_subdomain)
+        return (tuple(self.args),
+                {'subdomain': self._subdomain,
+                 'coefficients': self._coefficients,
+                 'implicit_dims': self._implicit_dims,
+                 'evaluate': False})
+
     @property
     def subdomain(self):
         return self._subdomain

@@ -39,9 +39,18 @@ class Grid:
 
     def __init__(self, shape, extent=None, origin=None, dimensions=None,
                  time_dimension=None, dtype=None, subdomains=None,
-                 comm=None, topology=None, distributor=None):
+                 comm=None, topology=None, distributor=None, spacing=None):
         self._shape = as_tuple(shape)
         ndim = len(self._shape)
+        # reference API (tests/test_symbolics.py test_grid_inputs):
+        # spacing= is an alternative to extent=; when both are given each
+        # property reports its own argument verbatim (the reference keeps
+        # them independent even if numerically inconsistent)
+        self._spacing_override = as_tuple(spacing) \
+            if spacing is not None else None
+        if spacing is not None and extent is None:
+            extent = tuple(h * max(s - 1, 1)
+                           for h, s in zip(as_tuple(spacing), self._shape))
         # reference default: the UNIT box (extent 1.0 per dim, so
         # spacing = 1/(n-1)) — verified against the executed reference
         self._extent = as_tuple(extent) if extent is not None else \
@@ -117,6 +126,8 @@ class Grid:
 
     @property
     def spacing(self):
+        if getattr(self, '_spacing_override', None) is not None:
+            return self._spacing_override
         return tuple(e / max(s - 1, 1) for e, s in zip(self.extent, self.shape))
 
     @property
@@ -207,7 +218,10 @@ class SubDomain:
         dims = []
         for d in grid.dimensions:
             s = byname.get(d.name, d)
-            if s is d or s == d:
+            # None or the dimension's name mean "the whole dimension",
+            # alongside the reference's {d: d} form
+            if s is d or s == d or s is None or \
+                    (isinstance(s, str) and s == d.name):
                 dims.append(d)
             else:
                 side = s[0]

@@ -102,6 +102,13 @@ class AbstractSparseFunction(DiscreteFunction):
         return type(self)._npoint
 
     @property
+    def interpolation(self):
+        """Interpolation mode ('linear'/'sinc'/'precomputed') — public,
+        as in the reference (types/sparse.py; tests/test_pickle.py
+        asserts it round-trips)."""
+        return type(self)._interpolation
+
+    @property
     def shape(self):
         return (self.npoint,)
 
@@ -232,11 +239,17 @@ class PrecomputedSparseFunction(AbstractSparseFunction):
     @classmethod
     def __init_metadata__(cls, gridpoints=None, interpolation_coeffs=None,
                           r=2, **kwargs):
+        # 'interpolation' is implied by the type; drop an incoming value
+        # (pickle reconstructs from _constructor_kwargs, which carries it)
+        kwargs.pop('interpolation', None)
         super().__init_metadata__(r=r, interpolation='precomputed', **kwargs)
         cls._gridpoints = None if gridpoints is None else \
             np.asarray(gridpoints, dtype=np.int32)
         cls._interp_coeffs = None if interpolation_coeffs is None else \
             np.asarray(interpolation_coeffs)
+        cls._constructor_kwargs.update(
+            gridpoints=cls._gridpoints,
+            interpolation_coeffs=cls._interp_coeffs)
 
     @property
     def gridpoints(self):
@@ -293,6 +306,9 @@ class MatrixSparseTimeFunction(SparseTimeFunction):
         kwargs.setdefault('npoint', cls._matrix.shape[1]
                           if cls._matrix is not None else 0)
         super().__init_metadata__(r=r, **kwargs)
+        cls._constructor_kwargs.update(
+            matrix=cls._matrix, gridpoints=cls._gridpoints,
+            interpolation_coeffs=cls._interp_coeffs)
 
     @property
     def matrix(self):
