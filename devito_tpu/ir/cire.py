@@ -151,20 +151,42 @@ class _Extractor:
             return expr.func(*new_args, evaluate=False)
 
 
-def _top_level_deriv_groups(expr, out):
+def _top_level_deriv_groups(expr, out, terms=None):
     """Collect maximal derivative-containing subtrees of an rhs (for
-    cross-equation sharing)."""
+    cross-equation sharing). When ``terms`` is given, also record each
+    all-deriv Add's argument set — sympy flattens ``A + Gz`` so the Gz
+    subtree that exists nested in one equation (under ``w*Gz``) is
+    dissolved into siblings in another; matching single terms and
+    re-coalescing them by owner set recovers the shared chunk (TTI: Hz's
+    flattened Gz terms vs H0's nested ``sqrt(1+2delta)*Gz``)."""
     if isinstance(expr, Derivative):
         out.append(expr)
         return
     if not isinstance(expr, sympy.Basic) or not expr.args:
         return
-    if isinstance(expr, sympy.Add) and _has_deriv(expr) and \
-            all(_has_deriv(a) for a in expr.args):
-        out.append(expr)
+    if isinstance(expr, sympy.Add) and _has_deriv(expr):
+        pure = all(_has_deriv(a) for a in expr.args)
+        if pure:
+            out.append(expr)
+        if terms is not None:
+            # record the Add and its deriv-carrying args even when MIXED
+            # (deriv terms sitting next to pointwise ones): that is
+            # exactly the flattened form a coefficient-1 chunk takes
+            # after sympy merges `w*Gxx + Gz` into a wider Add
+            terms.append(expr)
+        if pure:
+            # nested groups under the args stay discoverable (a term
+            # like w*Gxx keeps Gxx as a subtree)
+            for a in expr.args:
+                if not isinstance(a, Derivative):
+                    for aa in a.args:
+                        _top_level_deriv_groups(aa, out, terms)
+            return
+        for a in expr.args:
+            _top_level_deriv_groups(a, out, terms)
         return
     for a in expr.args:
-        _top_level_deriv_groups(a, out)
+        _top_level_deriv_groups(a, out, terms)
 
 
 def _replace_exact(expr, mapping):
@@ -223,44 +245,138 @@ def extract_derivative_temps(expressions):
     # stage-1 forms; rewritten with temps placed at their first consumer)
     owners = {}
     lhs_sigs = {}
+    term_owners = {}
+    term_sigs = {}
+    addsets = {}     # id(eq) -> [frozenset(args) of its all-deriv Adds]
     for e in stage1:
         if isinstance(e, Eq) and _has_deriv(e.rhs):
-            groups = []
-            _top_level_deriv_groups(e.rhs, groups)
+            groups, adds = [], []
+            _top_level_deriv_groups(e.rhs, groups, adds)
             lhs_fn = getattr(e.lhs, 'function', None)
             sig = getattr(lhs_fn, 'staggered', None) if lhs_fn is not None \
                 else None
             for g in groups:
                 owners.setdefault(g, set()).add(id(e))
                 lhs_sigs.setdefault(g, set()).add(sig)
-    # staggered groups are extracted only when every consumer's lhs
-    # sits on one common lattice (e.g. elastic's diag(div(v)) shared by
-    # the three node diagonal stress equations) — the temporary then
-    # carries that stagger and the _eval_at projection is unchanged
+            addsets[id(e)] = [frozenset(a.args) for a in adds]
+            for a in adds:
+                for t in a.args:
+                    if not _has_deriv(t):
+                        continue
+                    term_owners.setdefault(t, set()).add(id(e))
+                    term_sigs.setdefault(t, set()).add(sig)
+    # groups are extracted only when every consumer's lhs sits on ONE
+    # common lattice (e.g. elastic's diag(div(v)) shared by the three
+    # node diagonal stress equations): derivative evaluation anchors at
+    # the consumer's stagger point, so even a plain-field derivative
+    # consumed by an x-staggered and a y-staggered lhs expands
+    # differently in each — one temp cannot serve both (caught by
+    # test_tti_staggered_adjoint 3-D). The temp carries the common
+    # lattice, so the _eval_at projection is unchanged.
     shared = {}
     for g, own in owners.items():
-        if len(own) < 2:
+        if len(own) < 2 or len(lhs_sigs[g]) != 1:
             continue
-        if not _expr_any_stagger(g):
-            shared[g] = None
-        elif len(lhs_sigs[g]) == 1:
-            shared[g] = next(iter(lhs_sigs[g]))
+        shared[g] = next(iter(lhs_sigs[g]))
+
+    # pass 2b: term-coalesced sharing. sympy flattens `w*Gxx + Gz` so Gz
+    # exists as a nested Add in one equation but as dissolved sibling
+    # terms in the other — whole-node matching misses it (TTI centered:
+    # both updates recomputed the full rotated Gz tap sum, ~100 ops + 19
+    # transcendentals per point, while Gxx happened to stay nested and
+    # was shared). Match individual deriv terms across equations,
+    # coalesce the ones with identical owner sets back into one Add, and
+    # share that — provided every owner has an Add containing the whole
+    # class as siblings (else replacement could not land and the temp
+    # would be waste).
+    covered = set()
+    for g in shared:
+        covered.add(g)
+        if isinstance(g, sympy.Add):
+            covered.update(g.args)
+
+    def _term_radius(t):
+        r = 0
+        for node in sympy.preorder_traversal(t):
+            if isinstance(node, Derivative):
+                r = max(r, _deriv_radius(node))
+        return r
+
+    classes = {}
+    for t, own in term_owners.items():
+        if len(own) < 2 or t in covered:
+            continue
+        if _term_radius(t) < 1:
+            # pure half-point interpolations: a full-grid temp costs
+            # more traffic than the 2-point recompute it saves
+            continue
+        if len(term_sigs[t]) != 1:
+            # consumers on different lattices: the SAME term anchors at
+            # each consumer's stagger point (a node-field derivative
+            # consumed by an x-staggered lhs evaluates at x+h/2, by a
+            # y-staggered lhs at y+h/2) — one temp cannot serve both
+            # (caught by test_tti_staggered_adjoint 3-D: vx/vy sharing
+            # broke the dot-product by 37%)
+            continue
+        classes.setdefault(frozenset(own), []).append(t)
+    shared_subsets = []   # [(Add-of-terms, stagger)]
+    for own, ts in classes.items():
+        tset = frozenset(ts)
+        if not all(any(tset <= s for s in addsets.get(eid, ()))
+                   for eid in own):
+            continue
+        node = sympy.Add(*ts) if len(ts) > 1 else ts[0]
+        if node in shared or node in covered:
+            continue
+        sigs = set().union(*[term_sigs[t] for t in ts])
+        if len(sigs) != 1:
+            continue
+        # the temp anchors on the consumers' common lattice (same rule
+        # as whole-group sharing above)
+        stag = next(iter(sigs))
+        shared_subsets.append((node, tset, stag))
+    # largest classes first, so a big coalesced chunk wins over any
+    # overlapping smaller one
+    shared_subsets.sort(key=lambda x: -len(x[1]))
 
     stage2 = []
     for e in stage1:
         n0 = len(ex.temps)
-        if shared and isinstance(e, Eq) and _has_deriv(e.rhs):
+        if (shared or shared_subsets) and isinstance(e, Eq) \
+                and _has_deriv(e.rhs):
             mapping = {g: None for g in shared}
             stags = dict(shared)
+            for node, tset, stag in shared_subsets:
+                mapping.setdefault(node, None)
+                stags.setdefault(node, stag)
             # materialize lazily so placement lands at the first consumer
+            def _lookup(expr):
+                if mapping[expr] is None:
+                    mapping[expr] = ex.materialize(
+                        expr, 0, staggered=stags[expr])
+                return mapping[expr]
+
             def _map(expr):
                 if expr in mapping:
-                    if mapping[expr] is None:
-                        mapping[expr] = ex.materialize(
-                            expr, 0, staggered=stags[expr])
-                    return mapping[expr]
+                    return _lookup(expr)
                 if not isinstance(expr, sympy.Basic) or not expr.args:
                     return expr
+                if isinstance(expr, sympy.Add) and shared_subsets:
+                    # replace coalesced sibling subsets (pass 2b): the
+                    # class exists as args of this Add even though no
+                    # single EQUAL subtree may exist — set membership,
+                    # not node equality, because separately-built Adds
+                    # of the same terms can canonical-sort differently
+                    args = set(expr.args)
+                    repl = []
+                    for node, tset, _ in shared_subsets:
+                        if tset <= args:
+                            repl.append((node, tset))
+                            args -= tset
+                    if repl:
+                        rest = [_map(a) for a in args]
+                        return expr.func(*([_lookup(n) for n, _ in repl]
+                                           + rest))
                 new_args = [_map(a) for a in expr.args]
                 if all(n is o for n, o in zip(new_args, expr.args)):
                     return expr
