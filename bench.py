@@ -1,5 +1,6 @@
 #!/usr/bin/env python
-"""Headline benchmark: 3-D acoustic SO=8 forward modeling, GPts/s per chip.
+"""Headline benchmark: 3-D acoustic SO=8 forward modeling, GPts/s per chip
+(flagship config: fp32, phase-unrolled static-slot runner).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -88,31 +89,37 @@ def parse_trace_period(trace_dir, nsteps):
     periods = []
     for name, ts in by_name.items():
         m = len(ts)
+        if m < 9:
+            continue
+        ts = sorted(ts)
         # per-step ops fire once per loop iteration; ops inside a rolled
         # chunk loop (executor._exec_chunks_rolled) fire k times per step
         # — infer k and scale the average firing gap back to a step
-        # period (span-based: robust to uneven intra-step spacing)
+        # period (span-based: robust to uneven intra-step spacing).
+        # Under phase-unrolled execution (executor build_runner) the
+        # macro body fires once per L sub-steps: firings at nsteps/L
+        # are scaled the other way (gap / L).
         k = max(1, round(m / nsteps))
         # k=1 keeps a wide band (truncated traces); k>=2 must sit within
         # 10% of an exact multiple or the bands overlap (48 firings at
         # nsteps=32 is 1.5x — neither k=1 nor k=2, excluded)
         lo, hi = (0.7, 1.3) if k == 1 else (0.9, 1.1)
-        if not (lo * k * nsteps <= m <= hi * k * nsteps + 2):
+        if lo * k * nsteps <= m <= hi * k * nsteps + 2:
+            if k == 1:
+                periods.append(float(np.median(np.diff(ts))))
+            else:
+                periods.append(float(ts[-1] - ts[0]) / (m - 1) * k)
             continue
-        ts = sorted(ts)
-        if m < 9:
-            continue
-        if k == 1:
-            periods.append(float(np.median(np.diff(ts))))
-        else:
-            periods.append(float(ts[-1] - ts[0]) / (m - 1) * k)
+        L = round(nsteps / m)
+        if L >= 2 and abs(m * L - nsteps) <= L + 2:
+            periods.append(float(np.median(np.diff(ts))) / L)
     if not periods:
         return None
     # several per-step ops all measure the same period; use their median
     return float(np.median(periods)) * 1e-6
 
 
-def child_main(n, so):
+def child_main(n, so, autotune=None):
     """Run the measurement, one JSON line per event on stdout."""
     def emit(**kw):
         print(json.dumps(kw), flush=True)
@@ -137,18 +144,19 @@ def child_main(n, so):
     m = 1 / (vp * vp)
     stencil = solve(m * u.dt2 - u.laplace + damp * u.dt, u.forward)
 
-    # two configurations: the TPU-native flagship (bf16 wavefield
-    # storage, fp32 compute — opt 'storage-dtype', halves HBM traffic)
-    # and plain fp32 storage for apples-to-apples comparison with the
-    # reference's fp32 runs.  BENCH_STORAGE=off measures fp32 only.
+    # two configurations. The flagship is plain fp32: the phase-unrolled
+    # static-slot runner (executor build_runner) runs it faster than the
+    # bf16-storage mode, whose narrow slots XLA refuses to tap-fuse
+    # (round-5 measurement: fp32 34.0 vs bf16 32.5 GPts/s at 512^3).
+    # bf16 storage (fp32 compute, half HBM residency) stays as the
+    # secondary row. BENCH_STORAGE=off measures fp32 only.
     sdt = os.environ.get('BENCH_STORAGE', 'bfloat16')
-    cfgs = []
+    cfgs = [('fp32', 'advanced')]
     if sdt and sdt != 'off':
         cfgs.append(('bf16_storage', ('advanced', {
             'storage-dtype': sdt,
             'storage-dtype-scope': os.environ.get('BENCH_STORAGE_SCOPE',
                                                   'fields')})))
-    cfgs.append(('fp32', 'advanced'))
     ops = [(cname, Operator(Eq(u.forward, stencil), subs=grid.spacing_map,
                             name='BenchForward', opt=copt))
            for cname, copt in cfgs]
@@ -178,7 +186,7 @@ def child_main(n, so):
     # warmup: jit compile + 2 steps, dispatch only (no sync: through a
     # degraded tunnel a single fetch costs 100-200 s; the trace phase's
     # one fetch below syncs the warmup too)
-    at = os.environ.get('BENCH_AUTOTUNE')
+    at = autotune or os.environ.get('BENCH_AUTOTUNE')
     t0 = time.perf_counter()
     ops[0][1].apply(time_m=0, time_M=1, dt=dt,
                     autotune=at if at else None)
@@ -260,9 +268,10 @@ class ChildRun:
     """Launch the child for grid size `n`; collect chunk lines with
     per-line deadlines; estimate the steady-state rate."""
 
-    def __init__(self, n, so):
+    def __init__(self, n, so, autotune=None):
         self.n = n
         self.so = so
+        self.autotune = autotune
         self.kind = None
         self.chunks = []          # (steps, secs)
         self.trace_rate = None    # device-side GPts/s from the profiler
@@ -280,7 +289,8 @@ class ChildRun:
         q = queue.Queue()
         proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__),
-             '--child', str(self.n), str(self.so)],
+             '--child', str(self.n), str(self.so)]
+            + ([self.autotune] if self.autotune else []),
             stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
 
         def reader():
@@ -456,7 +466,11 @@ def main():
             size_budget = max(60.0, remaining - 110)
         else:
             size_budget = remaining - 10
-        run = ChildRun(n, so)
+        # the lane-unaligned bonus guard autotunes (basic): the
+        # phase/dynamic runner choice is shape-dependent and 200^3 is a
+        # dynamic-path shape (the tuner recovers it; cheap at this size)
+        run = ChildRun(n, so, autotune='basic' if guard_tried and
+                       best is not None else None)
         print(f"[bench] trying n={n} (size budget {size_budget:.0f}s, "
               f"{remaining:.0f}s left)", file=sys.stderr, flush=True)
         run.run(ready_deadline=min(280.0, size_budget),
@@ -502,6 +516,7 @@ def main():
 
 if __name__ == '__main__':
     if len(sys.argv) > 1 and sys.argv[1] == '--child':
-        child_main(int(sys.argv[2]), int(sys.argv[3]))
+        child_main(int(sys.argv[2]), int(sys.argv[3]),
+                   sys.argv[4] if len(sys.argv) > 4 else None)
     else:
         main()

@@ -245,8 +245,19 @@ def _upcast(arr, fn):
     return arr
 
 
+def _phase_slot(phase, toff, m, direction):
+    """STATIC slot index of a stepping access under phase-unrolled
+    execution (see build_runner): slots are labeled so that at sub-step
+    phase ``k`` the access ``u[t + toff]`` lives in local slot
+    ``(k + direction*toff) mod m`` — a Python int, so the read is a
+    plain carried-array reference instead of a dynamic row slice."""
+    if phase is None:
+        raise CompilationError("stepping slots accessed without a phase")
+    return (phase + direction * int(toff)) % m
+
+
 def _resolve_time_indexed(bufs, fn, tk, toff, t, direction, params=None,
-                          upcast=True):
+                          upcast=True, phase=None):
     """Return the (3-d or lower) array for a time-resolved access."""
     import jax
     up = _upcast if upcast else (lambda a, f: a)
@@ -254,6 +265,9 @@ def _resolve_time_indexed(bufs, fn, tk, toff, t, direction, params=None,
     if tk is None:
         return up(buf, fn)
     if tk == 'stepping':
+        if isinstance(buf, tuple):
+            return up(buf[_phase_slot(phase, toff, fn._time_size,
+                                      direction)], fn)
         if t is None:
             raise CompilationError(
                 "Stepping access outside the time loop")
@@ -295,7 +309,8 @@ def _time_row_index(fn, tk, toff, t, params):
     raise CompilationError(f"Bad time access kind {tk}")
 
 
-def _windowed_slab(bufs, fn, tk, toff, t, params, x0, xlen):
+def _windowed_slab(bufs, fn, tk, toff, t, params, x0, xlen, phase=None,
+                   direction=1):
     """[x0, x0+xlen) slab (leading space axis, buffer coords) of a
     time-resolved row, sliced in ONE dynamic_slice straight off the
     time-stacked buffer. Extracting the full row first and slicing it
@@ -304,6 +319,10 @@ def _windowed_slab(bufs, fn, tk, toff, t, params, x0, xlen):
     chunks themselves."""
     import jax
     buf = bufs[fn.name]
+    if isinstance(buf, tuple):  # phase-unrolled stepping slots
+        slot = buf[_phase_slot(phase, toff, fn._time_size, direction)]
+        return jax.lax.dynamic_slice_in_dim(slot, jnp_int32(x0), xlen,
+                                            axis=0)
     ri = _time_row_index(fn, tk, toff, t, params)
     if ri is None:
         # dynamic form: x0 is traced under the rolled chunk loop
@@ -378,12 +397,15 @@ def _use_pallas():
     return False, False
 
 
-def _target_prev(eq, bufs, t, direction, params=None):
+def _target_prev(eq, bufs, t, direction, params=None, phase=None):
     """Current (pre-update) content of the buffer slot ``eq`` writes."""
     import jax
     name = eq.target.name
     tk = eq.time_kind
     if tk == 'stepping':
+        if isinstance(bufs[name], tuple):
+            return bufs[name][_phase_slot(phase, eq.time_off,
+                                          eq.target._time_size, direction)]
         return jax.lax.dynamic_index_in_dim(
             bufs[name], step_row(t, eq.time_off, eq.target._time_size),
             0, keepdims=False)
@@ -742,7 +764,8 @@ def _zero_align_chunk_write(val, slices, buf_shape, eq, fn, jnp, lead=1):
     return jnp.pad(val, pads), tuple(slices)
 
 
-def _exec_chunks_rolled(eq, bufs, params, t, direction, plan, region):
+def _exec_chunks_rolled(eq, bufs, params, t, direction, plan, region,
+                        phase=None):
     """x-chunked execution as a ``lax.fori_loop`` over equal-length
     chunks (traced chunk start). Semantically identical to the unrolled
     chunk loop in ``_exec_dense`` — same slab windows, same
@@ -763,6 +786,12 @@ def _exec_chunks_rolled(eq, bufs, params, t, direction, plan, region):
     fullsl = _write_region_slices(eq)
     buf = bufs[name]
     timeless = eq.time_kind is None
+    stack = slot_li = None
+    if isinstance(buf, tuple):  # phase-unrolled stepping target
+        slot_li = _phase_slot(phase, eq.time_off, fn._time_size,
+                              direction)
+        timeless = True  # slot arrays carry no time axis
+        stack, buf = buf, buf[slot_li]
     row_idx = None if timeless else step_row(t, eq.time_off,
                                              fn._time_size)
     shifts = _chunk_shifts(eq, px0, xlen)
@@ -775,7 +804,8 @@ def _exec_chunks_rolled(eq, bufs, params, t, direction, plan, region):
     def body(i, acc):
         a = jnp.minimum(i * clen, maxa).astype(jnp.int32)
         bufs_i = dict(bufs)
-        bufs_i[name] = acc
+        bufs_i[name] = acc if slot_li is None else (
+            stack[:slot_li] + (acc,) + stack[slot_li + 1:])
         for rn in mat_names:
             # pair the slab reads with the accumulated carry so the
             # window materializations order after the previous chunk's
@@ -786,7 +816,8 @@ def _exec_chunks_rolled(eq, bufs, params, t, direction, plan, region):
         region_i[xd] = (px0 + a, clen)
         ctx_i = DenseCtx(bufs_i, params, region_i, t=t, direction=direction,
                          stride_map=stride,
-                         window=(xd, px0 + a, clen, mat) + shifts)
+                         window=(xd, px0 + a, clen, mat) + shifts,
+                         phase=phase)
         val_i = translate(eq.rhs, ctx_i)
         x0buf = jnp_int32(fullsl[0].start) + a
 
@@ -810,12 +841,13 @@ def _exec_chunks_rolled(eq, bufs, params, t, direction, plan, region):
 
     acc = jax.lax.fori_loop(0, len(chunks), body, buf)
     out = dict(bufs)
-    out[name] = acc
+    out[name] = acc if slot_li is None else (
+        stack[:slot_li] + (acc,) + stack[slot_li + 1:])
     return out
 
 
 def _exec_dense(eq, bufs, params, t, direction, strips=None,
-                shard_spec=None, gspmd=False):
+                shard_spec=None, gspmd=False, phase=None):
     import jax
     import jax.numpy as jnp
     from .translate import translate, DenseCtx
@@ -867,12 +899,18 @@ def _exec_dense(eq, bufs, params, t, direction, strips=None,
         plan = _x_chunk_plan(eq, region, t, strips, shard_spec)
         if plan is not None and plan[4]:
             return _exec_chunks_rolled(eq, bufs, params, t, direction,
-                                       plan, region)
+                                       plan, region, phase=phase)
         if plan is not None:
             xd, px0, chunks, mat, _ = plan
             fullsl = _write_region_slices(eq)
             buf = bufs[name]
             timeless = eq.time_kind is None
+            slot_li = None
+            if isinstance(buf, tuple):  # phase-unrolled stepping target
+                slot_li = _phase_slot(phase, eq.time_off, fn._time_size,
+                                      direction)
+                timeless = True  # slot arrays carry no time axis
+                stack, buf = buf, buf[slot_li]
             row_idx = None if timeless else step_row(t, eq.time_off,
                                                      fn._time_size)
             shifts = _chunk_shifts(eq, px0,
@@ -891,7 +929,8 @@ def _exec_dense(eq, bufs, params, t, direction, strips=None,
                 # buffer per chunk (measured 5x 0.56 ms/step at 384^3;
                 # read-from-acc: 5.04 -> 2.21 ms/step, xchunk_probe2)
                 bufs_i = dict(bufs)
-                bufs_i[name] = acc
+                bufs_i[name] = acc if slot_li is None else (
+                    stack[:slot_li] + (acc,) + stack[slot_li + 1:])
                 if a > 0 and mat_names:
                     # other functions' windows: serialize via a barrier
                     # paired with the previous chunk's DUS output, else
@@ -907,7 +946,8 @@ def _exec_dense(eq, bufs, params, t, direction, strips=None,
                 ctx_i = DenseCtx(bufs_i, params, region_i, t=t,
                                  direction=direction,
                                  stride_map=_stride_map(eq),
-                                 window=(xd, px0 + a, clen, mat) + shifts)
+                                 window=(xd, px0 + a, clen, mat) + shifts,
+                                 phase=phase)
                 val_i = translate(eq.rhs, ctx_i)
                 sl_i = (slice(fullsl[0].start + a,
                               fullsl[0].start + a + clen),) + fullsl[1:]
@@ -933,11 +973,12 @@ def _exec_dense(eq, bufs, params, t, direction, strips=None,
                 upd = val_i[None] if lead else val_i
                 acc = jax.lax.dynamic_update_slice(acc, upd, sts)
             out = dict(bufs)
-            out[name] = acc
+            out[name] = acc if slot_li is None else (
+                stack[:slot_li] + (acc,) + stack[slot_li + 1:])
             return out
 
     ctx = DenseCtx(bufs, params, region, t=t, direction=direction,
-                   stride_map=_stride_map(eq))
+                   stride_map=_stride_map(eq), phase=phase)
     if val is None:
         val = translate(eq.rhs, ctx)
         if free:
@@ -1004,6 +1045,31 @@ def _exec_dense(eq, bufs, params, t, direction, strips=None,
     if tk == 'stepping':
         buf = bufs[name]
         m = fn._time_size
+        if isinstance(buf, tuple):
+            # phase-unrolled slots: the write replaces one carried slot
+            # array — no dynamic row slice, no row-materialization copy
+            # (measured 2.45 of 5.52 ms/step at fp32 512^3, fp32_probe)
+            li = _phase_slot(phase, eq.time_off, m, direction)
+            slot = buf[li]
+
+            def _current():
+                return slot[slices]
+
+            val = _finalize_val(eq, val, _current, ctx, region_shape,
+                                slot.dtype, jnp)
+            strip = strips.get(id(eq)) if strips else None
+            if not val_fullz and strip is not None:
+                row_idx = step_row(t, eq.time_off, m)
+                val, slices = _align_lane_write(
+                    val, slices, strip, (m,) + slot.shape, row_idx, jnp)
+            if all(sl.start == 0 and sl.stop == slot.shape[ax]
+                   for ax, sl in enumerate(slices)):
+                new = val  # full-extent: pure fusion output
+            else:
+                new = jax.lax.dynamic_update_slice(
+                    slot, val, tuple(np.int32(sl.start) for sl in slices))
+            out[name] = buf[:li] + (new,) + buf[li + 1:]
+            return out
         row_idx = step_row(t, eq.time_off, m)
 
         def _current():
@@ -1221,7 +1287,7 @@ def _sparse_geometry(sf, bufs, params, shard_spec=None):
     return idxs, W, own
 
 
-def _interp_separable(item, sf, bufs, params, t, direction):
+def _interp_separable(item, sf, bufs, params, t, direction, phase=None):
     """Tensor-product interpolation: per-axis MXU contractions instead
     of pointwise corner gathers (operations/separable.py — the weight
     matrices ship as ``<name>_sepM<j>`` runtime buffers, packed by
@@ -1254,7 +1320,7 @@ def _interp_separable(item, sf, bufs, params, t, direction):
             return None
         tk, toff = time_access_of(a)
         arr = _resolve_time_indexed(bufs, fn, tk, toff, t, direction,
-                                    params=params)
+                                    params=params, phase=phase)
         if arr.ndim != ndim:
             return None
         slices = []
@@ -1308,7 +1374,7 @@ def _write_interp(item, sf, res, matrix, bufs, out, params, t, jnp):
 
 
 def _exec_sparse(item, bufs, params, t, geom_cache, direction,
-                 shard_spec=None):
+                 shard_spec=None, phase=None):
     import jax.numpy as jnp
     from .translate import translate, SparseCtx
 
@@ -1319,7 +1385,8 @@ def _exec_sparse(item, bufs, params, t, geom_cache, direction,
     if (item.kind == 'interp' and matrix is None and not shard_spec
             and bufs.get(f'{sf.name}_sepM0') is not None
             and bufs.get(f'{sf.name}_own') is None):
-        res = _interp_separable(item, sf, bufs, params, t, direction)
+        res = _interp_separable(item, sf, bufs, params, t, direction,
+                                phase=phase)
         if res is not None:
             return _write_interp(item, sf, res, None, bufs, out, params,
                                  t, jnp)
@@ -1332,7 +1399,7 @@ def _exec_sparse(item, bufs, params, t, geom_cache, direction,
     cz = corner_idx.get('__cz__', 1)
 
     ctx = SparseCtx(bufs, params, corner_idx, W, sf, t=t,
-                    direction=direction, cz=cz, own=own)
+                    direction=direction, cz=cz, own=own, phase=phase)
     val = translate(item.expr, ctx)  # (C, P) or (P,) or scalar
 
     if item.kind == 'interp':
@@ -1365,6 +1432,13 @@ def _exec_sparse(item, bufs, params, t, geom_cache, direction,
                 val, (matrix.shape[1],))
         if item.field_time_kind == 'stepping':
             buf = bufs[field.name]
+            if isinstance(buf, tuple):  # phase-unrolled slots
+                li = _phase_slot(phase, item.field_time_off or 0,
+                                 field._time_size, direction)
+                slot = buf[li]
+                slot = slot.at[sidx].add((W * val).astype(slot.dtype))
+                out[field.name] = buf[:li] + (slot,) + buf[li + 1:]
+                return out
             row_idx = step_row(t, item.field_time_off or 0,
                                field._time_size)
             contrib = (W * val).astype(buf.dtype)
@@ -1384,7 +1458,7 @@ def _exec_sparse(item, bufs, params, t, geom_cache, direction,
 
 def build_runner(schedule, write_names, stepping_info=None, errctl=None,
                  anchor=0, exchange=None, shard_spec=None,
-                 lane_strips=True, gspmd=False):
+                 lane_strips=True, gspmd=False, static_phase=True):
     """Build ``run(wbufs, rbufs, params, time_m, time_M) -> wbufs``.
 
     ``stepping_info``: {fn name: nslots} for rolling-buffer TimeFunctions;
@@ -1490,24 +1564,25 @@ def build_runner(schedule, write_names, stepping_info=None, errctl=None,
         if isinstance(it, (LoweredEq, LoweredSparse)):
             sec_names[id(it)] = f'dtpu_sec{len(sec_names)}'
 
-    def _exec_one(it, bufs, params, t, geom_cache, strips):
+    def _exec_one(it, bufs, params, t, geom_cache, strips, phase=None):
         from contextlib import nullcontext
         scope = sec_names.get(id(it))
         ctx = jax.named_scope(scope) if scope else nullcontext()
         with ctx:
             if isinstance(it, LoweredEq):
                 return _exec_dense(it, bufs, params, t, direction,
-                                   strips, shard_spec, gspmd)
+                                   strips, shard_spec, gspmd, phase=phase)
             if isinstance(it, LoweredSparse):
                 return _exec_sparse(it, bufs, params, t, geom_cache,
-                                    direction, shard_spec)
+                                    direction, shard_spec, phase=phase)
             if getattr(it, 'kind', None) == 'halo':
                 # halo marker (parallel/halo.py): exchange start/
                 # finish/sync scheduled like any other item
                 return it.run(bufs, params, t)
             raise CompilationError(f"Cannot execute {it}")
 
-    def _exec_items(items, bufs, params, t, geom_cache, strips=None):
+    def _exec_items(items, bufs, params, t, geom_cache, strips=None,
+                    phase=None):
         # NB: sibling-eq grouping (evaluating independent eqs against the
         # shared pre-group state so XLA could multi-output fuse them) was
         # tried in round 4 and produced a BIT-IDENTICAL executable on
@@ -1515,7 +1590,8 @@ def build_runner(schedule, write_names, stepping_info=None, errctl=None,
         # so the traced graph already exposes the shared operands and
         # XLA still chooses separate loop fusions (PERF_NOTES r4).
         for it in items:
-            bufs = _exec_one(it, bufs, params, t, geom_cache, strips)
+            bufs = _exec_one(it, bufs, params, t, geom_cache, strips,
+                             phase=phase)
         return bufs
 
     def _hoist_strips(raw_bufs):
@@ -1639,6 +1715,64 @@ def build_runner(schedule, write_names, stepping_info=None, errctl=None,
                     strips[id(it)] = _FullStrips(axes)
         return strips
 
+    def _phase_unroll():
+        """lcm of stepping-buffer sizes when the schedule is eligible
+        for phase-unrolled (static-slot) execution, else 0.
+
+        Eligibility: single-chip XLA path, and every body access to a
+        stepping buffer is of 'stepping' kind (an absolute index like
+        ``u[0, x, y]`` would need a dynamic slot lookup — the stacked
+        path handles those)."""
+        import os
+        from math import gcd
+        from ..types.basic import retrieve_functions
+        from ..ir.lowering import time_access_of
+        if (not static_phase or exchange is not None or shard_spec
+                or gspmd or not stepping_info or _use_pallas()[0]
+                or os.environ.get('DTPU_STATIC_PHASE', '1') == '0'):
+            return 0
+        L = 1
+        for m in stepping_info.values():
+            m = int(m)
+            if m < 1:
+                return 0
+            L = L * m // gcd(L, m)
+        if L > 6:
+            return 0
+        def _narrow(fn):
+            # narrow-storage (bf16/fp16) slots stay on the stacked path:
+            # XLA's fusion cost model refuses to fuse the per-tap
+            # upcasts of a slot that many shifted reads share, and
+            # streams one full-grid convert per tap instead (measured
+            # 4.1 -> 21 ms/step at bf16 512^3, in every variant tried:
+            # early upcast, post-slice upcast, substep barriers)
+            sd = getattr(fn, 'storage_dtype', None)
+            return sd is not None and sd != fn.dtype
+
+        for it in schedule.body:
+            if isinstance(it, LoweredEq):
+                exprs = [it.rhs] + ([it.condition]
+                                    if it.condition is not None else [])
+                if it.time_kind == 'stepping' and _narrow(it.target):
+                    return 0
+            elif isinstance(it, LoweredSparse):
+                exprs = [it.expr]
+                fld = getattr(it, 'field', None)
+                if fld is not None and fld.name in stepping_info \
+                        and _narrow(fld):
+                    return 0
+            else:
+                return 0  # scheduled halo markers: sharded-only path
+            for e in exprs:
+                for a in retrieve_functions(e):
+                    if a.function.name in stepping_info:
+                        tk, _ = time_access_of(a)
+                        if tk != 'stepping':
+                            return 0
+                        if _narrow(a.function):
+                            return 0
+        return L
+
     def run(wbufs, rbufs, params, time_m, time_M):
         import jax.numpy as jnp
 
@@ -1655,27 +1789,65 @@ def build_runner(schedule, write_names, stepping_info=None, errctl=None,
                             sf, bufs, params, shard_spec=shard_spec)
 
             strips = _hoist_strips(bufs)
+            L = _phase_unroll()
+            anchor = time_m if forward else time_M
 
-            def step(i, carry):
-                t = time_m + i if forward else time_M - i
-                merged = {**bufs, **carry}
-                if exchange is not None:
-                    merged = exchange(merged, t)
-                merged = _exec_items(schedule.body, merged, params, t,
-                                     geom_cache, strips=strips)
-                return {k: merged[k] for k in carry_names}
+            if L:
+                # phase-unrolled (static-slot) execution: stepping
+                # buffers become tuples of per-slot arrays labeled so
+                # local slot i holds time anchor + direction*i; slot
+                # routing inside the L-substep macro body is then STATIC
+                # (_phase_slot) — no dynamic row slices, whose
+                # materialized copies measured 2.45 of 5.52 ms/step at
+                # fp32 512^3 (the round-4 'window-slab copy' residual)
+                names = [nm for nm in stepping_info if nm in bufs]
+                for nm in names:
+                    m = stepping_info[nm]
+                    b = bufs[nm]
+                    bufs[nm] = tuple(
+                        jax.lax.dynamic_index_in_dim(
+                            b, jnp.mod(anchor + direction * i,
+                                       m).astype(np.int32),
+                            0, keepdims=False)
+                        for i in range(m))
+
+            def substeps(carry, t0, nsub):
+                c = carry
+                for k in range(nsub):
+                    t = t0 + direction * k
+                    merged = {**bufs, **c}
+                    if exchange is not None:
+                        merged = exchange(merged, t)
+                    merged = _exec_items(schedule.body, merged, params, t,
+                                         geom_cache, strips=strips,
+                                         phase=(k if L else None))
+                    c = {kk: merged[kk] for kk in carry_names}
+                    if L and k < nsub - 1:
+                        # seal each sub-step: without the barrier XLA
+                        # CSEs identical reads of a carried slot across
+                        # sub-steps — for narrow-storage (bf16) slots
+                        # the shared upcast then materializes as a
+                        # full-grid fp32 copy (measured 4.1 -> 21 ms/step
+                        # at 512^3)
+                        c = jax.lax.optimization_barrier(c)
+                return c
+
+            def step(i, carry, nsub=1):
+                t0 = anchor + direction * (i * (L or 1))
+                return substeps(carry, t0, nsub)
 
             if errctl is None:
-                body = step
+                def body(i, carry):
+                    return step(i, carry, nsub=(L or 1))
             else:
                 def body(i, carry):
                     err = carry.pop('__err__')
 
                     def _go(cin):
-                        out = step(i, cin)
-                        t = time_m + i if forward else time_M - i
+                        out = step(i, cin, nsub=(L or 1))
+                        t = anchor + direction * ((i + 1) * (L or 1) - 1)
                         # errctl names the written stepping fns: probe one
-                        # row of each stacked buffer (any row is at most m
+                        # slot of each buffer (any slot is at most m
                         # steps stale, matching the reference's sampled
                         # scan over all written fields, errors.py:20)
                         bad = jnp.bool_(False)
@@ -1692,7 +1864,7 @@ def build_runner(schedule, write_names, stepping_info=None, errctl=None,
                             if axes:
                                 bad = jax.lax.psum(
                                     bad.astype(jnp.int32), axes) > 0
-                        do_check = jnp.mod(t, 100) == 0
+                        do_check = jnp.mod(t, 100) < (L or 1)
                         out['__err__'] = jnp.where(do_check, bad, False)
                         return out
 
@@ -1701,13 +1873,39 @@ def build_runner(schedule, write_names, stepping_info=None, errctl=None,
 
                     return jax.lax.cond(err, _halt, _go, carry)
 
-            n = time_M - time_m + 1
+            n = jnp.maximum(time_M - time_m + 1, 0)
             carry0 = {k: bufs[k] for k in carry_names}
             if errctl is not None:
                 carry0 = {**carry0, '__err__': jnp.bool_(False)}
-            carry = jax.lax.fori_loop(0, n, body, carry0)
-            err_flag = carry.pop('__err__', None)
+            if L:
+                macro = n // L
+                carry = jax.lax.fori_loop(0, macro, body, carry0)
+                # remainder (n mod L) sub-steps: one static branch per
+                # possible count — phases restart at 0 since macro*L
+                # whole cycles completed
+                err_flag = carry.pop('__err__', None)
+
+                def _mk(r):
+                    def f(c):
+                        return substeps(c, anchor + direction * macro * L,
+                                        r)
+                    return f
+                carry = jax.lax.switch(n - macro * L,
+                                       [_mk(r) for r in range(L)], carry)
+            else:
+                carry = jax.lax.fori_loop(0, n, body, carry0)
+                err_flag = carry.pop('__err__', None)
             bufs = {**bufs, **carry}
+
+            if L:
+                # restack: local slot i -> global row (anchor + dir*i)%m
+                for nm in [nm for nm in stepping_info if nm in bufs]:
+                    b = bufs[nm]
+                    if not isinstance(b, tuple):
+                        continue
+                    m = stepping_info[nm]
+                    perm = jnp.mod(direction * (jnp.arange(m) - anchor), m)
+                    bufs[nm] = jnp.take(jnp.stack(b), perm, axis=0)
 
         bufs = _exec_items(schedule.epilogue, bufs, params, None, geom_cache)
         out = {k: bufs[k] for k in write_names if k not in local_names}

@@ -166,11 +166,14 @@ def translate(expr, ctx):
 
 
 class BaseCtx:
-    def __init__(self, buffers, params, t=None, direction=1):
+    def __init__(self, buffers, params, t=None, direction=1, phase=None):
         self.buffers = buffers
         self.params = params
         self.t = t
         self.direction = direction
+        # static sub-step phase under phase-unrolled execution
+        # (executor._phase_slot); None on the dynamic-row path
+        self.phase = phase
 
     def symbol(self, sym):
         name = sym.name
@@ -218,7 +221,8 @@ class BaseCtx:
         from .executor import _resolve_time_indexed
         tk, toff = time_access_of(access)
         return _resolve_time_indexed(self.buffers, fn, tk, toff, self.t,
-                                     self.direction, params=self.params)
+                                     self.direction, params=self.params,
+                                     phase=self.phase)
 
 
 class DenseCtx(BaseCtx):
@@ -229,8 +233,9 @@ class DenseCtx(BaseCtx):
     """
 
     def __init__(self, buffers, params, region, t=None, direction=1,
-                 stride_map=None, window=None):
-        super().__init__(buffers, params, t=t, direction=direction)
+                 stride_map=None, window=None, phase=None):
+        super().__init__(buffers, params, t=t, direction=direction,
+                         phase=phase)
         self.region = region
         # ``window``: (dim name, domain start, domain length, mat keys) —
         # x-chunked execution (executor._x_chunk_plan): accesses to
@@ -309,7 +314,8 @@ class DenseCtx(BaseCtx):
         # 384^3 — the row is bigger than any chunk)
         win = _windowed_slab(self.buffers, fn, tk, toff, self.t,
                              self.params, dom_start + s_l,
-                             dom_len + (hl - s_l) + (hr - s_r))
+                             dom_len + (hl - s_l) + (hr - s_r),
+                             phase=self.phase, direction=self.direction)
         win = _upcast(win, fn)
         if key in mat:
             (win,) = jax.lax.optimization_barrier((win,))
@@ -321,6 +327,7 @@ class DenseCtx(BaseCtx):
         specs = space_index_specs(e)
         arr = None
         windowed = False
+        late_upcast = False
         if self.window is not None and not fn.is_SparseFunction:
             wdn, wstart, wlen, mat = self.window[:4]
             sh = self.window[4:] or (0, 0)
@@ -330,7 +337,21 @@ class DenseCtx(BaseCtx):
                 arr = self._windowed_row(fn, e, wstart, wlen, mat, sh)
                 windowed = True
         if arr is None:
-            arr = self._time_resolved(fn, e)
+            if isinstance(self.buffers.get(fn.name), tuple):
+                # phase-unrolled slots: slice the NARROW slot per tap and
+                # upcast after — a per-access full-slot upcast node does
+                # not CSE across taps and XLA materializes each as a
+                # full-grid fp32 copy (measured 21 ms/step at bf16 512^3
+                # vs 4.1 on the stacked path)
+                from .executor import _resolve_time_indexed
+                from ..ir.lowering import time_access_of
+                tk, toff = time_access_of(e)
+                arr = _resolve_time_indexed(
+                    self.buffers, fn, tk, toff, self.t, self.direction,
+                    params=self.params, upcast=False, phase=self.phase)
+                late_upcast = True
+            else:
+                arr = self._time_resolved(fn, e)
         halo = fn.dev_halo
         last_plain = (specs and specs[-1][0] == 'rel'
                       and specs[-1][1] == fn.space_dimensions[-1].name
@@ -413,6 +434,9 @@ class DenseCtx(BaseCtx):
             arr = jnp.pad(arr, [(0, 0)] * (arr.ndim - 1)
                           + [(0, last.stop - arr.shape[-1])])
         arr = arr[tuple(slices)]
+        if late_upcast:
+            from .executor import _upcast
+            arr = _upcast(arr, fn)
         # Align axes to the region's dimension order. Grid-backed stencil
         # accesses index each axis by its own dim in grid order (no-op);
         # free-dimension contractions (Inc(b, A[i,j]*x[j]), reference
@@ -452,8 +476,9 @@ class SparseCtx(BaseCtx):
     """
 
     def __init__(self, buffers, params, corner_idx, weights, sparse_fn,
-                 t=None, direction=1, cz=1, own=None):
-        super().__init__(buffers, params, t=t, direction=direction)
+                 t=None, direction=1, cz=1, own=None, phase=None):
+        super().__init__(buffers, params, t=t, direction=direction,
+                         phase=phase)
         self.cz = cz
         self.corner_idx = corner_idx
         self.weights = weights

@@ -964,11 +964,21 @@ class Operator:
         return self._autotune_xla(wbufs, rbufs, params, tm, mode)
 
     def _time_candidate(self, runner, wbufs, rbufs, params, tm, opts,
-                        chunk=None):
+                        chunk=None, nsteps=32):
+        """Time one candidate over a ``nsteps``-step shadow run.
+
+        The timed window must dominate the per-run device->host fetch
+        (the only reliable completion signal through the remote tunnel):
+        a 4-step window at 512^3 is ~22 ms of device work against ~30 ms
+        of healthy-tunnel fetch, and the tuner degenerated to a noise
+        lottery — measured picking a 10% WORSE candidate at fp32 512^3
+        (24.3 -> 21.8 GPts/s). Returns (seconds, fetch_seconds); the
+        caller aborts tuning when the fetch latency says the tunnel
+        cannot time anything honestly."""
         import jax
         import jax.numpy as jnp
         from ..compiler.executor import set_chunk_override
-        tM_at = tm + 3
+        tM_at = tm + nsteps - 1
         set_chunk_override(**(chunk or {}))
         try:
             jitted = jax.jit(runner)
@@ -988,12 +998,15 @@ class Operator:
         out = compiled(shadow, rbufs, params, np.int32(tm),
                        np.int32(tM_at))
         _sync(out)
+        # pure fetch latency: the data is already resident
         tic = _time.perf_counter()
-        for _ in range(2):
-            out = compiled({k: jnp.array(v) for k, v in wbufs.items()},
-                           rbufs, params, np.int32(tm), np.int32(tM_at))
-            _sync(out)
-        return _time.perf_counter() - tic
+        _sync(out)
+        fetch = _time.perf_counter() - tic
+        tic = _time.perf_counter()
+        out = compiled({k: jnp.array(v) for k, v in wbufs.items()},
+                       rbufs, params, np.int32(tm), np.int32(tM_at))
+        _sync(out)
+        return _time.perf_counter() - tic, fetch
 
     def _chunking_engages(self):
         """Does any body eq produce an x-chunk plan at current knob
@@ -1018,19 +1031,24 @@ class Operator:
         return False
 
     def _autotune_candidates(self, mode):
-        """(label, lane_strips, xla_options, chunk_override) rows the
-        tuner will time. Chunk slab targets join the set only when the
-        plan engages at current settings (inert on small grids)."""
-        cands = [('strips', True, None, None),
-                 ('nostrips', False, None, None)]
+        """(label, builder_kwargs, xla_options, chunk_override) rows the
+        tuner will time. 'default' is the shipped runner (lane strips +
+        phase-unrolled static slots); 'nophase' times the dynamic-row
+        loop — the phase/dynamic choice is shape-dependent (measured
+        fp32: 512^3 phase 1.40x faster, 200^3 dynamic 1.75x faster).
+        Chunk slab targets join the set only when the plan engages at
+        current settings (inert on small grids)."""
+        cands = [('default', {}, None, None),
+                 ('nophase', {'static_phase': False}, None, None),
+                 ('nostrips', {'lane_strips': False}, None, None)]
         if self._chunking_engages():
             targets = (40, 52, 64, 80) if mode != 'aggressive' \
                 else (32, 40, 48, 52, 64, 80, 96)
             for t in targets:
-                cands.append((f'chunk{t}M', True, None, {'target_mb': t}))
+                cands.append((f'chunk{t}M', {}, None, {'target_mb': t}))
         if mode == 'aggressive':
             for v in (49152, 65536, 98304):
-                cands.append((f'strips+vmem{v // 1024}M', True,
+                cands.append((f'vmem{v // 1024}M', {},
                               {'xla_tpu_scoped_vmem_limit_kib': str(v)},
                               None))
         return cands
@@ -1047,14 +1065,20 @@ class Operator:
         scope — PERF_NOTES round-2)."""
         cands = self._autotune_candidates(mode)
         results = []
-        for label, strips, opts, chunk in cands:
-            runner = self._runner if strips else build_runner(
+        for label, bkw, opts, chunk in cands:
+            runner = self._runner if not bkw else build_runner(
                 self._schedule, tuple(self._writes),
                 stepping_info=self._stepping_info, errctl=self._errctl,
-                lane_strips=False)
+                **bkw)
             try:
-                dt = self._time_candidate(runner, wbufs, rbufs, params,
-                                          tm, opts, chunk=chunk)
+                dt, fetch = self._time_candidate(
+                    runner, wbufs, rbufs, params, tm, opts, chunk=chunk)
+                if fetch > 5.0:
+                    # degraded tunnel: every timing would be fetch noise
+                    # — keep the defaults rather than pick at random
+                    log_perf(f"autotune aborted: tunnel degraded "
+                             f"(fetch {fetch:.1f}s)")
+                    return
                 results.append((dt, label, runner, opts, chunk))
             except Exception as e:
                 log_perf(f"autotune candidate {label} failed: "

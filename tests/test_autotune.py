@@ -31,7 +31,7 @@ def test_candidates_small_grid_no_chunk_knob():
     op, _, _ = _acoustic_op((48, 44, 40))
     assert not op._chunking_engages()
     labels = [c[0] for c in op._autotune_candidates('basic')]
-    assert labels == ['strips', 'nostrips']
+    assert labels == ['default', 'nophase', 'nostrips']
 
 
 def test_candidates_large_grid_has_chunk_targets():
@@ -46,7 +46,10 @@ def test_candidates_large_grid_has_chunk_targets():
         assert f'chunk{t}M' in labels, labels
     agg = [c[0] for c in op._autotune_candidates('aggressive')]
     assert set(labels) < set(agg)
-    assert any(l.startswith('strips+vmem') for l in agg)
+    assert any(l.startswith('vmem') for l in agg)
+    # the phase/dynamic runner choice is a first-class candidate (the
+    # measured winner flips with shape: 512^3 phase, 200^3 dynamic)
+    assert 'nophase' in labels
     # chunk candidates carry the override dict the executor consumes
     chunk = [c for c in op._autotune_candidates('basic')
              if c[0] == 'chunk52M']

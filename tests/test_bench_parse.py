@@ -111,9 +111,10 @@ def _fake_ladder(monkeypatch, results):
     calls = []
 
     class FakeRun:
-        def __init__(self, n, so):
+        def __init__(self, n, so, autotune=None):
             self.n = n
             self.kind = 'TPU v5 lite'
+            self.autotune = autotune
             calls.append(n)
 
         def run(self, **kw):
