@@ -1458,7 +1458,7 @@ def _exec_sparse(item, bufs, params, t, geom_cache, direction,
 
 def build_runner(schedule, write_names, stepping_info=None, errctl=None,
                  anchor=0, exchange=None, shard_spec=None,
-                 lane_strips=True, gspmd=False, static_phase=True):
+                 lane_strips=True, gspmd=False, static_phase=None):
     """Build ``run(wbufs, rbufs, params, time_m, time_M) -> wbufs``.
 
     ``stepping_info``: {fn name: nslots} for rolling-buffer TimeFunctions;
@@ -1727,10 +1727,25 @@ def build_runner(schedule, write_names, stepping_info=None, errctl=None,
         from math import gcd
         from ..types.basic import retrieve_functions
         from ..ir.lowering import time_access_of
-        if (not static_phase or exchange is not None or shard_spec
+        if (static_phase is False or exchange is not None or shard_spec
                 or gspmd or not stepping_info or _use_pallas()[0]
                 or os.environ.get('DTPU_STATIC_PHASE', '1') == '0'):
             return 0
+        if static_phase is None:
+            # default heuristic: schedules dominated by step-local
+            # timeless temporaries (TTI's CIRE chains: 4 such eqs)
+            # REGRESS under phase unrolling — the L-fold inlined macro
+            # body keeps L copies of the temp chains live and XLA
+            # spills (measured TTI 192^3 fp32: 6.0 -> 10.0 ms/step,
+            # while acoustic gains 1.40x and elastic — 2 temps — 1.11x).
+            # Force with autotune ('phase'/'nophase' candidates) or
+            # build_runner(static_phase=True/False).
+            ntimeless = sum(
+                1 for it in schedule.body
+                if isinstance(it, LoweredEq) and it.time_kind is None
+                and it.time_dep)
+            if ntimeless > 2:
+                return 0
         L = 1
         for m in stepping_info.values():
             m = int(m)

@@ -1039,6 +1039,7 @@ class Operator:
         Chunk slab targets join the set only when the plan engages at
         current settings (inert on small grids)."""
         cands = [('default', {}, None, None),
+                 ('phase', {'static_phase': True}, None, None),
                  ('nophase', {'static_phase': False}, None, None),
                  ('nostrips', {'lane_strips': False}, None, None)]
         if self._chunking_engages():

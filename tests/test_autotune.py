@@ -31,7 +31,7 @@ def test_candidates_small_grid_no_chunk_knob():
     op, _, _ = _acoustic_op((48, 44, 40))
     assert not op._chunking_engages()
     labels = [c[0] for c in op._autotune_candidates('basic')]
-    assert labels == ['default', 'nophase', 'nostrips']
+    assert labels == ['default', 'phase', 'nophase', 'nostrips']
 
 
 def test_candidates_large_grid_has_chunk_targets():
