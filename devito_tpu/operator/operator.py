@@ -981,7 +981,12 @@ class Operator:
         tM_at = tm + nsteps - 1
         set_chunk_override(**(chunk or {}))
         try:
-            jitted = jax.jit(runner)
+            # donate like the real apply path does: without donation the
+            # phase-unrolled runner's slot writes copy instead of
+            # updating in place, and the tuner mis-ranks it against the
+            # dynamic path (shadow buffers are per-run copies, so
+            # donation is safe)
+            jitted = jax.jit(runner, donate_argnums=(0,))
             shadow = {k: jnp.array(v) for k, v in wbufs.items()}
             compiled = jitted.lower(shadow, rbufs, params, np.int32(tm),
                                     np.int32(tM_at)).compile(
