@@ -1508,7 +1508,9 @@ def build_runner(schedule, write_names, stepping_info=None, errctl=None,
     # temporaries are block-scoped in the generated C, not kernel
     # arguments (passes/clusters/aliases.py lower_schedule).
     local_names = set()
-    if exchange is None and lane_strips and not shard_spec:
+    import os as _os
+    if (exchange is None and lane_strips and not shard_spec
+            and _os.environ.get('DTPU_STEP_LOCAL', '1') != '0'):
         writers = {}
         for it in schedule.all_items:
             if isinstance(it, LoweredEq):

@@ -575,6 +575,49 @@ def lower_expressions(expressions, subs=None, cire=None):
         else:
             raise InvalidOperator(f"Cannot lower {type(e).__name__}: {e}")
 
+    # Transitive time dependence: an equation reading a function written
+    # per-step is itself per-step even when its DIRECT reads carry no
+    # time index — cire2 = f(cire0) where cire0 = f(u[t]) read only
+    # timeless temps and lowered with time_dep=False, so the chunk
+    # planner declined it as a one-shot and the monolithic whole-grid
+    # trig fusion crashed the XLA compiler at the canonical TTI
+    # z-quarter (round 5). Accesses of TimeFunctions always carry a time
+    # index, so only reads of body-written TIMELESS temporaries are
+    # affected.
+    def _witem(it):
+        if isinstance(it, LoweredEq):
+            return {it.target.name}
+        if isinstance(it, LoweredSparse):
+            return ({it.field.name} if it.kind == 'inject'
+                    else {it.sparse.name})
+        return set()
+
+    def _ritem(it):
+        out = set()
+        if isinstance(it, LoweredEq):
+            exprs = [it.rhs] + ([it.condition]
+                                if it.condition is not None else [])
+        else:
+            exprs = [it.expr]
+        for e in exprs:
+            for a in retrieve_functions(e):
+                out.add(a.function.name)
+        if isinstance(it, LoweredSparse):
+            out.add(it.sparse.name)
+        return out
+
+    changed = True
+    while changed:
+        changed = False
+        tdep_writes = set()
+        for it in items:
+            if it.time_dep:
+                tdep_writes |= _witem(it)
+        for it in items:
+            if not it.time_dep and (_ritem(it) & tdep_writes):
+                it.time_dep = True
+                changed = True
+
     # Split prologue / loop body / epilogue
     body = [i for i in items if i.time_dep]
     if body:

@@ -15,6 +15,7 @@ one stream read is cheaper than recomputation.
 
 import itertools
 
+import numpy as np
 import sympy
 
 from ..types.basic import AbstractFunction, retrieve_functions
@@ -125,6 +126,33 @@ def _collect(expr, out, body_written=()):
         _collect(a, out, body_written)
 
 
+def _shifted_trig_blowup_bytes(body_dense, body_written):
+    """Bytes XLA's loop-invariant code motion would materialize for the
+    body's shifted invariant transcendentals: each DISTINCT
+    (func, field, offset) node becomes its own whole-grid compute-dtype
+    buffer hoisted out of the time loop (measured: 10.7 GiB of
+    executable temps at the canonical TTI z-quarter)."""
+    seen = set()
+    total = 0
+    for eq in body_dense:
+        for node in sympy.preorder_traversal(sympy.sympify(eq.rhs)):
+            if not isinstance(node, _EXPENSIVE) or len(node.args) != 1:
+                continue
+            a = node.args[0]
+            fn = getattr(a, 'function', None)
+            if fn is None or getattr(fn, 'is_SparseFunction', False) \
+                    or getattr(fn, 'grid', None) is None:
+                continue
+            if fn.name in body_written or _has_time(a):
+                continue
+            key = (node.func, fn.name, tuple(str(x) for x in a.args))
+            if key in seen:
+                continue
+            seen.add(key)
+            total += 4 * int(np.prod(fn.grid.shape))
+    return total
+
+
 def _hoist_shifted_transcendentals(schedule, body_dense, body_written,
                                    existing):
     """Pointwise transcendentals of shifted invariant accesses —
@@ -212,12 +240,18 @@ def hoist_invariants(schedule, trig_taps=False):
     Mutates and returns ``schedule``.
 
     ``trig_taps`` additionally hoists transcendentals of *shifted*
-    invariant accesses (opt option 'hoist-trig-taps').  Default OFF:
-    measured on v5e 192³ TTI so8 it REGRESSES 10.75 -> 13.33 ms/step —
-    the in-fusion trig is fully hidden under the HBM streams (the VPU
-    idles waiting on memory), while the rewrite adds two extra
-    full-grid tap streams per section.  Kept as a knob for
-    compute-bound configurations (very high order / small grids)."""
+    invariant accesses (opt option 'hoist-trig-taps').  Measured on v5e
+    192³ TTI so8 it REGRESSES 10.75 -> 13.33 ms/step when memory is
+    plentiful — the in-fusion trig is fully hidden under the HBM streams
+    while the rewrite adds two extra full-grid tap streams per section —
+    so plain True/False force it. The default 'auto' enables it only
+    when XLA's OWN loop-invariant code motion would otherwise
+    materialize each distinct shifted trig slice as a separate
+    whole-grid fp32 buffer and blow HBM: the canonical TTI z-quarter
+    (512x402x222 SO=12) measured 10.7 GiB of executable temps — ~38
+    shifted-trig invariants at 228 MB each — and RESOURCE_EXHAUSTED'd,
+    where the explicit hoist stores each transcendental ONCE (4 buffers)
+    and taps it."""
     from ..types.dense import Function
 
     body_dense = [it for it in schedule.body if isinstance(it, LoweredEq)]
@@ -234,6 +268,9 @@ def hoist_invariants(schedule, trig_taps=False):
         if tgt is not None:
             existing.add(tgt.name)
 
+    if trig_taps == 'auto':
+        trig_taps = _shifted_trig_blowup_bytes(body_dense,
+                                               body_written) > 1.5e9
     if trig_taps:
         _hoist_shifted_transcendentals(schedule, body_dense, body_written,
                                        existing)

@@ -99,7 +99,7 @@ class Operator:
             from ..ir.optimize import hoist_invariants
             hoist_invariants(self._schedule,
                              trig_taps=self._opt_options.get(
-                                 'hoist-trig-taps', False))
+                                 'hoist-trig-taps', 'auto'))
         self._collect()
         errctl = None
         if self._opt_options.get('errctl') == 'max':
@@ -942,6 +942,31 @@ class Operator:
 
     # -- execution ---------------------------------------------------------
 
+    def _needs_apply_fence(self, compiled=None):
+        """True when this operator's resident bytes PLUS the compiled
+        executable's temp footprint are a large enough HBM fraction
+        that two overlapping executions would not fit (see the fence in
+        apply). The executable temps dominate at halo-synthesis-heavy
+        shapes: the canonical TTI z-quarter carries ~2.2 GB of buffers
+        but ~10 GB of XLA temps (memory_analysis)."""
+        f = getattr(self, '_fence_needed', None)
+        if f is None:
+            f = False
+            try:
+                import jax
+                if jax.default_backend() != 'cpu':
+                    from ..arch import get_platform
+                    plat = get_platform()
+                    need = self.estimate_memory()
+                    if compiled is not None:
+                        ma = compiled.memory_analysis()
+                        need += getattr(ma, 'temp_size_in_bytes', 0)
+                    f = need > 0.5 * plat.hbm_bytes
+            except Exception:
+                f = False
+            self._fence_needed = f
+        return f
+
     def _autotune(self, wbufs, rbufs, params, tm, mode='basic'):
         """Tune what actually ships (round-1 VERDICT weak 2: tuning only
         Pallas tiles left `autotune` inert on the XLA path): search
@@ -1319,6 +1344,23 @@ class Operator:
             out = compiled(wbufs, rbufs, params, tm, tM)
             jax.block_until_ready(out)
             elapsed = _time.perf_counter() - tic
+
+        # through the remote tunnel block_until_ready can return before
+        # execution completes; back-to-back applies of a LARGE operator
+        # then overlap on-device and double the per-execution temp
+        # footprint (the canonical TTI z-quarter ran cold but
+        # RESOURCE_EXHAUSTED'd on its second apply, round 5). For
+        # operators whose resident estimate is a sizable HBM fraction,
+        # force a real completion fence with a one-scalar device fetch.
+        if self._needs_apply_fence(compiled):
+            leaf = next(iter(out.values())) if isinstance(out, dict) \
+                else out
+            while isinstance(leaf, (tuple, list)):
+                leaf = leaf[0]
+            try:
+                _np.asarray(leaf[(0,) * leaf.ndim])
+            except Exception:
+                pass
 
         err = out.pop('__err__', None) if isinstance(out, dict) else None
         # adopt outputs (device authoritative)

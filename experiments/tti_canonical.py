@@ -39,18 +39,20 @@ def main():
     op = solver.op_fwd(save=None)
     print(f'build {time.perf_counter() - t0:.1f}s', flush=True)
 
-    t0 = time.perf_counter()
-    solver.forward(time_M=1)
-    print(f'warmup (compile + 2 steps) {time.perf_counter() - t0:.1f}s',
-          flush=True)
-
+    # ONE cold apply inside the trace: this shape runs at ~95% HBM
+    # (temp_size ~10 GiB, memory_analysis) and a second apply OOMs —
+    # per-step gaps in the timeline are unaffected by the in-trace
+    # compile (round-5 PERF_NOTES, 'z-quarter memory margin')
     tdir = tempfile.mkdtemp(prefix='tti_canon_')
     try:
         import jax.profiler
         with jax.profiler.trace(tdir):
-            rec, u, v, _ = solver.forward(time_M=nsteps - 1)
             t0 = time.perf_counter()
-            val = float(np.asarray(u.data[0])[tuple(
+            rec, u, v, _ = solver.forward(time_M=nsteps - 1)
+            print(f'apply (incl compile) {time.perf_counter() - t0:.1f}s',
+                  flush=True)
+            t0 = time.perf_counter()
+            val = float(np.asarray(u.data[1])[tuple(
                 s // 2 for s in shape)])
             print(f'fetch {time.perf_counter() - t0:.1f}s '
                   f'(u center {val:.3e})', flush=True)
