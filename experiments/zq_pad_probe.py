@@ -24,14 +24,36 @@ CHILD = r'''
 import json, sys, time
 import numpy as np
 sys.path.insert(0, {here!r})
+import jax
 from devito_tpu.models.seismic.tti import tti_setup
 y, nsteps = int(sys.argv[1]), int(sys.argv[2])
 solver = tti_setup(shape=(512, y, 222), spacing=(10.,)*3, tn=100.,
                    space_order=12, nbl=8, nlayers=2,
                    opt=('advanced', {{'storage-dtype': 'bfloat16'}}))
+op = solver.op_fwd(save=None)
+wbufs, rbufs, params, tm, tM, bound = op._prepare(
+    dict(src=solver.geometry.src, rec=solver.geometry.rec,
+         dt=solver.dt, time_M=nsteps - 1))
+runner = op._runner
+local = getattr(runner, 'local_names', frozenset())
+wbufs, rbufs = dict(wbufs), dict(rbufs)
+for k in list(wbufs):
+    if k in local:
+        rbufs[k] = wbufs.pop(k)
+# compile WITHOUT executing (lower/compile), so the timed window is
+# pure execute + one completion fetch — wall-clock differencing across
+# step counts then cancels only the fetch, not a 30-45 s +/- 8 s
+# remote compile
+jitted = jax.jit(lambda wb, rb, ps, a, b: runner(wb, rb, ps, a, b),
+                 donate_argnums=(0,))
+compiled = jitted.lower(wbufs, rbufs, params, np.int32(tm),
+                        np.int32(tM)).compile()
 t0 = time.perf_counter()
-rec, u, v, _ = solver.forward(time_M=nsteps - 1)
-val = float(np.abs(np.asarray(u.data[1])).max())
+out = compiled(wbufs, rbufs, params, np.int32(tm), np.int32(tM))
+leaf = out['u']
+while isinstance(leaf, (tuple, list)):
+    leaf = leaf[0]
+val = float(np.asarray(leaf[(0,) * leaf.ndim]).real)
 dt = time.perf_counter() - t0
 print(json.dumps({{'y': y, 'nsteps': nsteps, 'wall': dt,
                    'finite': bool(np.isfinite(val))}}))
@@ -53,7 +75,7 @@ def run_child(y, nsteps):
 
 def main():
     ys = [int(a) for a in sys.argv[1:]] or [402, 384, 378]
-    n1, n2 = 8, 40
+    n1, n2 = 8, 88
     for y in ys:
         a = run_child(y, n1)
         b = run_child(y, n2)
