@@ -989,7 +989,7 @@ class Operator:
         return self._autotune_xla(wbufs, rbufs, params, tm, mode)
 
     def _time_candidate(self, runner, wbufs, rbufs, params, tm, opts,
-                        chunk=None, nsteps=32):
+                        chunk=None, nsteps=64):
         """Time one candidate over a ``nsteps``-step shadow run.
 
         The timed window must dominate the per-run device->host fetch
@@ -1032,11 +1032,19 @@ class Operator:
         tic = _time.perf_counter()
         _sync(out)
         fetch = _time.perf_counter() - tic
-        tic = _time.perf_counter()
-        out = compiled({k: jnp.array(v) for k, v in wbufs.items()},
-                       rbufs, params, np.int32(tm), np.int32(tM_at))
-        _sync(out)
-        return _time.perf_counter() - tic, fetch
+        # two timed reps, best-of (fetch jitter is tens of ms — a 7%
+        # candidate margin at small step times needs it: the TTI 192^3
+        # tuner dropped a measured-4.70 vmem pick for the 5.07 default
+        # on a single rep)
+        best = None
+        for _ in range(2):
+            tic = _time.perf_counter()
+            out = compiled({k: jnp.array(v) for k, v in wbufs.items()},
+                           rbufs, params, np.int32(tm), np.int32(tM_at))
+            _sync(out)
+            dt = _time.perf_counter() - tic
+            best = dt if best is None else min(best, dt)
+        return best, fetch
 
     def _chunking_engages(self):
         """Does any body eq produce an x-chunk plan at current knob
