@@ -8,7 +8,6 @@ its value never retriggers compilation.
 
 import numpy as np
 import sympy
-from sympy.core.cache import cacheit
 
 from ..finite_differences.differentiable import Differentiable
 
@@ -20,20 +19,21 @@ class Constant(Differentiable, sympy.Symbol):
     is_Constant = True
     is_DiscreteFunction = False
 
-    __xnew_cached_ = staticmethod(cacheit(
-        lambda cls, name, **assum: sympy.Symbol.__xnew__(cls, name,
-                                                         **assum)))
-
     def __new__(cls, name=None, value=0, dtype=np.float32, **kwargs):
         # assumptions follow the dtype, as in the reference
         # (tests/test_symbolics.py test_real:122): a complex-dtype
         # Constant must not carry real=True or sympy may simplify
-        # conj/im away
+        # conj/im away.
+        # Construction is UNCACHED: instances are distinct carriers of
+        # `value` while staying sympy-EQUAL by (name, assumptions) —
+        # the cached variant made `Constant(name='u', value=2)` clobber
+        # an earlier same-named Constant's value (reference pins the
+        # opposite: tests/test_caching.py test_constant_new:432)
         dt = np.dtype(dtype)
         if np.issubdtype(dt, np.complexfloating):
-            obj = cls.__xnew_cached_(cls, name, imaginary=True)
+            obj = sympy.Symbol.__xnew__(cls, name, imaginary=True)
         else:
-            obj = cls.__xnew_cached_(cls, name, real=True)
+            obj = sympy.Symbol.__xnew__(cls, name, real=True)
         obj._value = value
         obj._dtype = dt
         return obj
