@@ -128,3 +128,23 @@ class TestCfdExtended:
         assert np.allclose(d[0, :], 0.) and np.allclose(d[:, -1], 0.)
         # source drives a positive interior pressure
         assert d.max() > 1e-4
+
+
+class TestCompilerTour:
+    """examples/compiler_tour.py (reference: examples/compiler 00-04
+    notebooks — lowering + generated-code introspection)."""
+
+    def test_lowering_tour(self):
+        from examples.compiler_tour import lowering_tour
+        evaluated, items = lowering_tour()
+        # the evaluated form carries the expanded laplace taps
+        assert 'h_x' in evaluated and 'h_y' in evaluated
+        assert len(items) == 1
+        it = items[0]
+        assert it.target.name == 'u' and it.time_kind == 'stepping'
+
+    def test_introspection_tour(self):
+        from examples.compiler_tour import introspection_tour
+        jaxpr, hlo = introspection_tour()
+        assert 'while' in jaxpr          # the fori time loop
+        assert 'func.func' in hlo or 'HloModule' in hlo
