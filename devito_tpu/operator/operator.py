@@ -1086,7 +1086,10 @@ class Operator:
             for t in targets:
                 cands.append((f'chunk{t}M', {}, None, {'target_mb': t}))
         if mode == 'aggressive':
-            for v in (49152, 65536, 98304):
+            # 56M is a sharp optimum for the shared-temp TTI structure
+            # (4.53 vs 4.70 at 64M, 5.05 at 48M — a fine sweep found a
+            # non-monotone notch; PERF_NOTES r5)
+            for v in (49152, 57344, 65536, 98304):
                 cands.append((f'vmem{v // 1024}M', {},
                               {'xla_tpu_scoped_vmem_limit_kib': str(v)},
                               None))
